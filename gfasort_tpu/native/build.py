@@ -1,0 +1,109 @@
+"""On-demand build of the native oracle (g++ → shared lib, ctypes).
+
+No pybind11 in this image (see environment notes); the C ABI + ctypes
+keeps the binding dependency-free.  The library is rebuilt whenever the
+source hash changes.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import pathlib
+import subprocess
+import threading
+from typing import Optional
+
+_HERE = pathlib.Path(__file__).parent
+_BUILD = _HERE / "_build"
+_LOCK = threading.Lock()
+_LIB: Optional[ctypes.CDLL] = None
+
+SOURCES = ["sgd_exact.cpp"]
+# -ffp-contract=off: forbid FMA contraction so every f64 op rounds like
+# the Rust reference (and the Python oracle); GCC's default
+# -ffp-contract=fast breaks bit parity.
+CXXFLAGS = [
+    "-O3", "-march=native", "-ffp-contract=off",
+    "-fPIC", "-shared", "-std=c++17", "-Wall",
+]
+
+
+def _source_hash() -> str:
+    h = hashlib.sha256()
+    for s in SOURCES:
+        h.update((_HERE / s).read_bytes())
+    h.update(" ".join(CXXFLAGS).encode())
+    return h.hexdigest()[:16]
+
+
+def build() -> pathlib.Path:
+    tag = _source_hash()
+    lib_path = _BUILD / f"libgfasort_native_{tag}.so"
+    if lib_path.exists():
+        return lib_path
+    _BUILD.mkdir(exist_ok=True)
+    srcs = [str(_HERE / s) for s in SOURCES]
+    cmd = ["g++", *CXXFLAGS, "-o", str(lib_path), *srcs]
+    subprocess.run(cmd, check=True, capture_output=True, text=True)
+    # clean stale builds
+    for old in _BUILD.glob("libgfasort_native_*.so"):
+        if old != lib_path:
+            try:
+                old.unlink()
+            except OSError:
+                pass
+    return lib_path
+
+
+def load() -> Optional[ctypes.CDLL]:
+    """Build (if needed) and load the native library; returns None if no
+    C++ toolchain is available (callers fall back to the Python oracle)."""
+    global _LIB
+    with _LOCK:
+        if _LIB is not None:
+            return _LIB
+        try:
+            _LIB = ctypes.CDLL(str(build()))
+        except (subprocess.CalledProcessError, OSError, FileNotFoundError):
+            return None
+        _declare(_LIB)
+        return _LIB
+
+
+def _declare(lib: ctypes.CDLL) -> None:
+    i64 = ctypes.c_int64
+    u64 = ctypes.c_uint64
+    f64 = ctypes.c_double
+    pi64 = ctypes.POINTER(ctypes.c_int64)
+    pf64 = ctypes.POINTER(ctypes.c_double)
+
+    lib.sgd1d_exact.restype = i64
+    lib.sgd1d_exact.argtypes = [
+        i64, pi64, pi64, pi64, pi64,        # steps
+        pi64, pi64,                          # paths
+        i64, pf64,                           # nodes, x
+        i64, i64, f64, u64, u64, u64,        # iter_max, mtu, theta, space*
+        i64, u64,                            # fci, seed
+        pf64, pf64, i64,                     # etas, zetas, zetas_len
+    ]
+
+    lib.sgd_nd_exact.restype = i64
+    lib.sgd_nd_exact.argtypes = [
+        i64, pi64, pi64, pi64, pi64, pi64,   # steps (+rev)
+        pi64, pi64, pi64,                    # paths, node_len
+        i64, i64, pf64,                      # num_nodes, dims, coords
+        i64, i64, f64, u64, u64, u64,
+        i64, u64,
+        pf64, pf64, i64,
+    ]
+
+    lib.sgd1d_bench.restype = i64
+    lib.sgd1d_bench.argtypes = [
+        i64, pi64, pi64, pi64, pi64,
+        pi64, pi64,
+        pf64, i64, f64, f64,
+        u64, u64, u64, u64,
+        pf64, i64,
+    ]

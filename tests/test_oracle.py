@@ -1,0 +1,205 @@
+"""Oracle tests: RNG stack, fast_precise_pow, schedules, and the
+Python-vs-C++ bit-parity cross-check."""
+
+import numpy as np
+import pytest
+from dataclasses import replace
+
+from gfasort_tpu import LayoutSGDParams, PathIndex, YgsParams
+from gfasort_tpu.io import gfa
+from gfasort_tpu.ops.exact import (
+    _fpp,
+    calculate_layout_stress,
+    layout_initial_coords,
+    path_linear_sgd_exact,
+    path_linear_sgd_layout_exact,
+    path_sgd_sort_exact,
+)
+from gfasort_tpu.ops.fastpow import (
+    fast_precise_pow,
+    fast_precise_pow_np,
+    zeta_table,
+    zeta_index,
+)
+from gfasort_tpu.ops.rng import UniformInt, Xoshiro256Plus, splitmix64_stream
+from gfasort_tpu.ops.schedule import eta_schedule
+
+
+# ---------------------------------------------------------------- RNG
+def test_splitmix64_canonical_vector():
+    # Canonical test vector from Vigna's splitmix64.c (seed 1234567)
+    g = splitmix64_stream(1234567)
+    assert [next(g) for _ in range(5)] == [
+        6457827717110365317,
+        3203168211198807973,
+        9817491932198370423,
+        4593380528125082431,
+        16408922859458223821,
+    ]
+
+
+def test_xoshiro_statistics():
+    rng = Xoshiro256Plus(9399220)
+    vals = [rng.random_f64() for _ in range(10000)]
+    assert all(0.0 <= v < 1.0 for v in vals)
+    assert abs(np.mean(vals) - 0.5) < 0.02
+
+
+def test_uniform_int_range_and_balance():
+    rng = Xoshiro256Plus(1)
+    u = UniformInt(0, 7)
+    samples = [u.sample(rng) for _ in range(7000)]
+    assert set(samples) == set(range(7))
+    counts = np.bincount(samples)
+    assert counts.min() > 800  # roughly uniform
+
+
+def test_uniform_flip_is_top_bit():
+    # Uniform::new(0,2) has thresh 0: result = next_u64 >> 63
+    rng1 = Xoshiro256Plus(5)
+    rng2 = Xoshiro256Plus(5)
+    u = UniformInt(0, 2)
+    for _ in range(100):
+        assert u.sample(rng1) == (rng2.next_u64() >> 63)
+
+
+# ---------------------------------------------------------------- fpp
+def test_fpp_scalar_vs_vectorized():
+    vals = [0.5, 0.25, 0.9, 1.0, 0.013, 2.0 / 7.0]
+    for b in (0.99, 0.001, 0.01, 1.0, 99.0, 100.0):
+        for a in vals:
+            assert _fpp(a, b) == fast_precise_pow(a, b)
+    arr = np.asarray(vals, dtype=np.float64)
+    vec = fast_precise_pow_np(arr, 0.99)
+    for a, v in zip(vals, vec):
+        assert _fpp(a, 0.99) == v
+
+
+def test_fpp_is_approximate_but_close():
+    # the ODGI approximation is crude but should track the true pow
+    for a in (0.1, 0.5, 0.9):
+        for b in (0.25, 0.99, 2.0):
+            assert abs(fast_precise_pow(a, b) - a**b) < 0.05 * max(a**b, 0.1)
+
+
+def test_fpp_rejects_negative_exponent():
+    with pytest.raises(ValueError):
+        fast_precise_pow_np(0.5, -1.0)
+
+
+def test_zeta_table_shape_and_values():
+    z = zeta_table(50, 100, 100, 0.99)
+    assert len(z) == 51
+    assert z[1] == fast_precise_pow(1.0, 0.99)
+    # prefix sums monotone increasing
+    assert np.all(np.diff(z[1:]) > 0)
+    zq = zeta_table(15931, 100, 100, 0.99)
+    assert len(zq) == 100 + (15931 - 100) // 100 + 2
+    # quantized entries populated
+    assert zq[-1] > zq[100]
+
+
+def test_zeta_index():
+    assert zeta_index(50, 100, 100, 260) == 50
+    assert zeta_index(100, 100, 100, 260) == 100
+    assert zeta_index(101, 100, 100, 260) == 101
+    assert zeta_index(250, 100, 100, 260) == 102
+    assert zeta_index(10**9, 100, 100, 260) == 259  # clamped
+
+
+def test_eta_schedule():
+    etas = eta_schedule(1.0 / 100.0, 1.0, 30, 0, 0.01)
+    assert len(etas) == 31
+    assert etas[0] == pytest.approx(100.0)
+    assert etas[-1] < etas[0]
+    assert np.all(np.diff(etas) < 0)  # monotone decay with iwmlr=0
+
+
+# ------------------------------------------------------- exact engines
+def test_exact_1d_runs_and_orders(simple_gfa):
+    g = gfa.parse_gfa_numeric(simple_gfa)
+    params = YgsParams.from_graph(g).path_sgd
+    order = path_sgd_sort_exact(g, params)
+    assert len(order) == 15
+    ids = sorted(h >> 1 for h in order)
+    assert ids == list(range(1, 16))
+    # deterministic
+    assert order == path_sgd_sort_exact(g, params)
+
+
+def test_exact_1d_no_paths_returns_empty():
+    from gfasort_tpu import BidirectedGraph
+
+    g = BidirectedGraph()
+    g.add_node(1, b"A")
+    assert path_sgd_sort_exact(g, YgsParams().path_sgd) == []
+
+
+def test_exact_layout_runs(lil_gfa):
+    g = gfa.parse_gfa_numeric(lil_gfa)
+    pidx = PathIndex.from_graph(g)
+    lp = LayoutSGDParams().derive_from_graph(pidx, 2)
+    lp = replace(lp, iter_max=5, min_term_updates=lp.min_term_updates // 5)
+    lay = path_linear_sgd_layout_exact(g, lp, pidx)
+    assert lay.num_nodes == 15 and lay.dimensions == 2
+    stress = calculate_layout_stress(g, lay, 2000)
+    assert 0.0 < stress < 10.0
+
+
+def test_layout_init_coords(lil_gfa):
+    g = gfa.parse_gfa_numeric(lil_gfa)
+    pidx = PathIndex.from_graph(g)
+    init = layout_initial_coords(pidx, 3, 9399220)
+    assert init.shape == (30, 3)
+    # dim0: + end at cumulative offset, - end at +node_len
+    np.testing.assert_allclose(init[0::2, 0], pidx.initial_positions())
+    np.testing.assert_allclose(
+        init[1::2, 0], pidx.initial_positions() + pidx.node_len
+    )
+    # noise dims scaled by sqrt(2N)
+    assert np.abs(init[:, 1:]).max() < 10 * np.sqrt(30)
+
+
+# ------------------------------------------------------- native parity
+needs_native = pytest.mark.skipif(
+    not __import__("gfasort_tpu.native", fromlist=["available"]).available(),
+    reason="no C++ toolchain",
+)
+
+
+@needs_native
+def test_native_1d_bit_parity(simple_gfa, lil_gfa):
+    from gfasort_tpu import native
+
+    for text in (simple_gfa, lil_gfa):
+        g = gfa.parse_gfa_numeric(text)
+        p = YgsParams.from_graph(g).path_sgd
+        xp = path_linear_sgd_exact(g, p)
+        xn = native.path_linear_sgd_native(g, p)
+        assert np.array_equal(xp, xn)
+
+
+@needs_native
+def test_native_1d_bit_parity_drb1(drb1_gfa):
+    from gfasort_tpu import native
+
+    g = gfa.parse_gfa_numeric(drb1_gfa)
+    p = replace(YgsParams.from_graph(g).path_sgd, iter_max=3)
+    assert np.array_equal(
+        path_linear_sgd_exact(g, p), native.path_linear_sgd_native(g, p)
+    )
+
+
+@needs_native
+def test_native_nd_bit_parity(lil_gfa):
+    from gfasort_tpu import native
+
+    g = gfa.parse_gfa_numeric(lil_gfa)
+    pidx = PathIndex.from_graph(g)
+    lp = LayoutSGDParams().derive_from_graph(pidx, 2)
+    init = layout_initial_coords(pidx, 2, lp.seed)
+    lay_p = path_linear_sgd_layout_exact(g, lp, pidx, init_coords=init.copy())
+    lay_n = native.path_linear_sgd_layout_native(
+        g, lp, pidx, init_coords=init.copy()
+    )
+    assert np.array_equal(lay_p.coords, lay_n.coords)
