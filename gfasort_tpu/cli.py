@@ -1,0 +1,131 @@
+"""gfasort CLI — mirrors the reference binary's flags and behavior
+(gfasort ``src/bin/gfasort.rs``).
+
+Usage::
+
+    python -m gfasort_tpu.cli -i in.gfa -o out.gfa [-p sYgs] [--iter-max 100]
+        [-t 1] [-v 1] [--dimensions 2] [--layout-out layout.tsv]
+        [--layout-iter 30] [--engine auto|exact|batched] [--seed N]
+        [--batch B]
+
+Pipeline characters (executed left-to-right, default ``sYgs`` like the
+reference CLI — src/bin/gfasort.rs:60):
+  Y = path-guided SGD, g = groom, s = topo sort, S = priority topo sort,
+  u = unchop, L = nD layout.
+
+``-t/--threads`` is accepted for reference-CLI compatibility; the
+device engines don't use host threads (the TPU round width is
+``--batch``), and the oracle is sequential by contract.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+from .io import gfa as gfa_io
+from .pipeline import run_pipeline, validate_pipeline
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="gfasort",
+        description="Sort a GFA file using configurable pipeline steps (TPU-native)",
+    )
+    p.add_argument("-i", "--input", required=True, help="Input GFA file")
+    p.add_argument("-o", "--output", required=True, help="Output GFA file")
+    p.add_argument(
+        "-p", "--pipeline", default="sYgs",
+        help="Pipeline: Y=SGD g=groom s=topo S=priority-topo u=unchop L=layout "
+             "(default: sYgs)",
+    )
+    p.add_argument("--iter-max", type=int, default=100, help="SGD iterations")
+    p.add_argument("-t", "--threads", type=int, default=1,
+                   help="Accepted for compatibility (engines are device-wide)")
+    p.add_argument("-v", "--verbose", type=int, default=1,
+                   help="Verbosity 0/1/2")
+    p.add_argument("--dimensions", type=int, default=2,
+                   help="Layout dimensions (L step)")
+    p.add_argument("--layout-out", default=None,
+                   help="Layout TSV output path (L step)")
+    p.add_argument("--layout-iter", type=int, default=30,
+                   help="Layout iterations (L step)")
+    p.add_argument("--engine", default="auto",
+                   choices=["auto", "exact", "batched"],
+                   help="SGD engine: exact oracle / batched TPU / auto")
+    p.add_argument("--seed", type=int, default=None,
+                   help="Override the fixed seed (default 9399220)")
+    p.add_argument("--batch", type=int, default=None,
+                   help="TPU engine round width (terms per round)")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    try:
+        validate_pipeline(args.pipeline)
+    except ValueError as e:
+        print(f"Error: {e}", file=sys.stderr)
+        return 1
+
+    log = lambda *a: print(*a, file=sys.stderr)  # noqa: E731
+    if args.verbose >= 1:
+        log(f"[gfasort] reading {args.input}")
+    try:
+        with open(args.input) as fh:
+            content = fh.read()
+    except OSError as e:
+        print(f"Error reading file: {e}", file=sys.stderr)
+        return 1
+
+    try:
+        graph = gfa_io.parse_gfa_numeric(content)
+    except (ValueError, IndexError) as e:
+        print(f"Error parsing GFA: {e}", file=sys.stderr)
+        return 1
+
+    if args.verbose >= 1:
+        log(
+            f"[gfasort] loaded {graph.node_count()} nodes, "
+            f"{len(graph.edges)} edges, {len(graph.paths)} paths"
+        )
+    if args.verbose >= 2:
+        log(f"[gfasort] pipeline: {args.pipeline}")
+
+    t0 = time.time()
+    result = run_pipeline(
+        graph,
+        pipeline=args.pipeline,
+        iter_max=args.iter_max,
+        dimensions=args.dimensions,
+        layout_iter=args.layout_iter,
+        engine=args.engine,
+        seed=args.seed,
+        batch=args.batch,
+        verbose=args.verbose,
+        log=log,
+    )
+    if args.verbose >= 2:
+        log(f"[gfasort] pipeline took {time.time() - t0:.2f}s")
+
+    if result.layout is not None:
+        if args.layout_out:
+            if args.verbose >= 1:
+                log(f"[gfasort] writing layout to {args.layout_out}")
+            result.layout.write_tsv_file(args.layout_out)
+        elif args.verbose >= 1:
+            log("[gfasort] warning: layout computed but --layout-out not specified")
+
+    if args.verbose >= 1:
+        log(f"[gfasort] writing {args.output}")
+    with open(args.output, "w") as fh:
+        fh.write(gfa_io.write_gfa(graph))
+    if args.verbose >= 1:
+        log("[gfasort] done")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,19 +1,27 @@
 """Test configuration: run JAX on a virtual 8-device CPU mesh.
 
-Must set env vars before the first ``import jax`` anywhere in the test
-process (SURVEY environment note: multi-chip hardware is unavailable;
-sharding is validated on virtual CPU devices).
+The environment's sitecustomize registers the experimental `axon` TPU
+tunnel backend and forces ``jax_platforms="axon,cpu"`` via
+``jax.config`` at interpreter start (so env vars alone cannot override
+it).  Tests must never run over the tunnel: reset the config to cpu
+right here, and request 8 virtual host devices before any backend
+initializes (SURVEY environment note: multi-chip sharding is validated
+on virtual CPU devices).
 """
 
 import os
 import pathlib
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
 
 import pytest  # noqa: E402
 
