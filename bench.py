@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""Headline benchmark: SGD pair-updates/s/chip (BASELINE.md metric 1).
+
+Runs the production batched 1D SGD engine (the `Y` hot loop) on a
+chromosome-scale synthetic path index on the default accelerator, and
+the C++ sequential oracle (the stand-in for the Rust reference at
+-t 1 — no Rust toolchain in this environment) on the CPU as baseline.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+
+import json
+import os
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).parent))
+
+# Workload: ~1M nodes, 16 paths x 250k steps = 4M steps
+N_NODES = int(os.environ.get("BENCH_NODES", 1_000_000))
+N_PATHS = int(os.environ.get("BENCH_PATHS", 16))
+STEPS = int(os.environ.get("BENCH_STEPS_PER_PATH", 250_000))
+BATCH = int(os.environ.get("BENCH_BATCH", 262_144))
+ROUNDS = int(os.environ.get("BENCH_ROUNDS", 50))
+
+
+def main() -> int:
+    from gfasort_tpu.bench_util import (
+        bench_batched_1d,
+        bench_native_1d,
+        synthetic_path_index,
+    )
+
+    pidx = synthetic_path_index(N_NODES, N_PATHS, STEPS, seed=0)
+    print(
+        f"[bench] workload: {pidx.num_nodes} nodes, {pidx.total_steps} steps, "
+        f"{pidx.num_paths} paths; batch={BATCH} rounds={ROUNDS}",
+        file=sys.stderr,
+    )
+
+    import jax
+
+    dev = jax.devices()[0]
+    print(f"[bench] device: {dev}", file=sys.stderr)
+    tpu = bench_batched_1d(pidx, batch=BATCH, rounds=ROUNDS)
+    print(f"[bench] batched engine: {tpu}", file=sys.stderr)
+    if not tpu["final_finite"]:
+        print("[bench] WARNING: non-finite positions", file=sys.stderr)
+
+    cpu = bench_native_1d(pidx, n_updates=2_000_000)
+    print(f"[bench] native oracle baseline: {cpu}", file=sys.stderr)
+    baseline_rate = cpu["updates_per_s"] if cpu else float("nan")
+
+    result = {
+        "metric": "sgd_pair_updates_per_s_per_chip",
+        "value": round(tpu["updates_per_s"], 1),
+        "unit": "pair-updates/s",
+        "vs_baseline": round(tpu["updates_per_s"] / baseline_rate, 3)
+        if cpu
+        else None,
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,156 @@
+"""Benchmark utilities: synthetic pangenome workloads and timed runs.
+
+The reference publishes no benchmark numbers (BASELINE.md), so the
+measured baseline is our own C++ sequential oracle — a faithful
+reimplementation of the reference's single-thread inner loop — and the
+headline metric is SGD pair-updates/s/chip on the batched TPU engine.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import replace
+from typing import Optional
+
+import numpy as np
+
+from .index import PathIndex
+from .params import PathSGDParams
+
+__all__ = ["synthetic_path_index", "bench_batched_1d", "bench_native_1d"]
+
+
+def synthetic_path_index(
+    n_nodes: int = 100_000,
+    n_paths: int = 16,
+    steps_per_path: int = 100_000,
+    seed: int = 0,
+) -> PathIndex:
+    """Build a chromosome-scale synthetic PathIndex directly (no
+    host-graph construction): each path is a noisy monotone walk over
+    the node space — the structure of a real pangenome path after a
+    reasonable sort — with random node lengths 1..16 bp."""
+    rng = np.random.default_rng(seed)
+    node_len = rng.integers(1, 17, size=n_nodes).astype(np.int64)
+
+    handles, poss, pths, rnks = [], [], [], []
+    counts, lens = [], []
+    for p in range(n_paths):
+        # monotone-ish walk with local jitter and occasional reversals
+        base = np.sort(rng.integers(0, n_nodes, size=steps_per_path))
+        jitter = rng.integers(-50, 51, size=steps_per_path)
+        nodes = np.clip(base + jitter, 0, n_nodes - 1)
+        rev = rng.random(steps_per_path) < 0.05
+        handles.append(((nodes + 1) << 1) | rev.astype(np.int64))
+        lengths = node_len[nodes]
+        pos = np.concatenate([[0], np.cumsum(lengths)[:-1]])
+        poss.append(pos)
+        pths.append(np.full(steps_per_path, p, dtype=np.int32))
+        rnks.append(np.arange(steps_per_path, dtype=np.int64))
+        counts.append(steps_per_path)
+        lens.append(int(lengths.sum()))
+
+    step_handle = np.concatenate(handles)
+    path_count = np.asarray(counts, dtype=np.int64)
+    path_first = np.concatenate([[0], np.cumsum(path_count)[:-1]]).astype(np.int64)
+    node_ids = np.arange(1, n_nodes + 1, dtype=np.int64)
+    step_node_idx = (step_handle >> 1) - 1
+
+    return PathIndex(
+        step_handle=step_handle,
+        step_pos=np.concatenate(poss),
+        step_path=np.concatenate(pths),
+        step_rank=np.concatenate(rnks),
+        path_first=path_first,
+        path_count=path_count,
+        path_len=np.asarray(lens, dtype=np.int64),
+        node_ids=node_ids,
+        node_len=node_len,
+        handle_to_idx={int(n): i for i, n in enumerate(node_ids)},
+        step_node_idx=step_node_idx,
+        step_count_of_step=path_count[np.concatenate(pths)],
+    )
+
+
+def bench_params(pidx: PathIndex, batch: int, rounds: int) -> PathSGDParams:
+    """Params that make the production engine run exactly ``rounds``
+    rounds of width ``batch`` (iter_max = rounds-1, mtu = batch)."""
+    p = PathSGDParams().derive_from_graph(pidx)
+    return replace(
+        p,
+        iter_max=rounds - 1,
+        min_term_updates=batch,
+        batch=batch,
+        dtype="float32",
+        pow_mode="fast",
+    )
+
+
+def bench_batched_1d(
+    pidx: PathIndex, batch: int = 262_144, rounds: int = 50,
+    repeats: int = 3,
+) -> dict:
+    """Time the production batched engine end-to-end (device-resident
+    loop; host touched once per run).  Returns rates in updates/s."""
+    import jax
+
+    from .ops.sgd import build_1d_runner
+
+    params = bench_params(pidx, batch, rounds)
+    run, make_x0 = build_1d_runner(pidx, params)
+    key = jax.random.key(params.seed)
+    # warm-up / compile
+    jax.block_until_ready(run(make_x0(), key))
+    best = float("inf")
+    for _ in range(repeats):
+        x0 = make_x0()
+        jax.block_until_ready(x0)
+        t0 = time.perf_counter()
+        x = jax.block_until_ready(run(x0, key))
+        dt = time.perf_counter() - t0
+        best = min(best, dt)
+    x = np.asarray(x)
+    total_updates = batch * rounds
+    return {
+        "seconds": best,
+        "updates": total_updates,
+        "updates_per_s": total_updates / best,
+        "final_finite": bool(np.isfinite(x).all()),
+        "batch": batch,
+        "rounds": rounds,
+    }
+
+
+def bench_native_1d(pidx: PathIndex, n_updates: int = 2_000_000) -> Optional[dict]:
+    """CPU baseline: the C++ sequential oracle inner loop (stands in
+    for the Rust reference at -t 1; same per-update semantics)."""
+    import ctypes
+
+    from .native import available, load, _p64, _pf64
+    from .ops.fastpow import zeta_table
+
+    if not available():
+        return None
+    lib = load()
+    params = bench_params(pidx, 1, 1)
+    sp = np.ascontiguousarray(pidx.step_path, dtype=np.int64)
+    sr = np.ascontiguousarray(pidx.step_rank, dtype=np.int64)
+    spos = np.ascontiguousarray(pidx.step_pos, dtype=np.int64)
+    snode = np.ascontiguousarray(pidx.step_node_idx, dtype=np.int64)
+    pf = np.ascontiguousarray(pidx.path_first, dtype=np.int64)
+    pc = np.ascontiguousarray(pidx.path_count, dtype=np.int64)
+    x = pidx.initial_positions().copy()
+    zetas = zeta_table(
+        params.space, params.space_max, params.space_quantization_step,
+        params.theta,
+    )
+    t0 = time.perf_counter()
+    lib.sgd1d_bench(
+        pidx.total_steps, _p64(sp), _p64(sr), _p64(spos), _p64(snode),
+        _p64(pf), _p64(pc),
+        _pf64(x), n_updates, float(params.eta_max), params.theta,
+        params.space, params.space_max, params.space_quantization_step,
+        42, _pf64(zetas), len(zetas),
+    )
+    dt = time.perf_counter() - t0
+    return {"seconds": dt, "updates": n_updates, "updates_per_s": n_updates / dt}

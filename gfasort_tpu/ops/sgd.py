@@ -48,6 +48,7 @@ from .schedule import eta_schedule
 
 __all__ = [
     "DeviceIndex",
+    "build_1d_runner",
     "build_schedule",
     "path_linear_sgd_batched",
     "path_sgd_sort_batched",
@@ -222,22 +223,14 @@ def _make_sampler(di: DeviceIndex, params, zetas: np.ndarray, sample_dtype,
     return sample_pairs
 
 
-def path_linear_sgd_batched(
-    graph: BidirectedGraph,
-    params: PathSGDParams,
-    pidx: Optional[PathIndex] = None,
-    x0: Optional[np.ndarray] = None,
-) -> Optional[np.ndarray]:
-    """1D path SGD on device; returns final positions x[idx] (host
-    numpy) or None when no multi-step path exists."""
+def build_1d_runner(pidx: PathIndex, params: PathSGDParams):
+    """Construct the jitted full-run function for the 1D engine.
+    Returns (run, make_x0) where run(x, base_key) executes the whole
+    round loop on device and make_x0() builds a fresh initial-position
+    device array (x is donated per call).  Used by the engine and by
+    bench.py (so timing reuses one compiled executable)."""
     import jax
     import jax.numpy as jnp
-
-    pidx = pidx or PathIndex.from_graph(graph)
-    if pidx.num_nodes == 0:
-        return np.zeros(0)
-    if not pidx.has_multi_step_path():
-        return None
 
     dtype = {"float32": np.float32, "float64": np.float64}[params.dtype]
     sample_dtype = jnp.float64 if params.pow_mode == "fpp" else _f(dtype)
@@ -290,10 +283,31 @@ def path_linear_sgd_batched(
 
         return jax.lax.fori_loop(0, n_rounds, round_body, x)
 
-    x_init = jnp.asarray(
-        x0 if x0 is not None else pidx.initial_positions(), dtype=fdt
-    )
-    x_final = run(x_init, jax.random.key(params.seed))
+    def make_x0(x0=None):
+        return jnp.asarray(
+            x0 if x0 is not None else pidx.initial_positions(), dtype=fdt
+        )
+
+    return run, make_x0
+
+
+def path_linear_sgd_batched(
+    graph: BidirectedGraph,
+    params: PathSGDParams,
+    pidx: Optional[PathIndex] = None,
+    x0: Optional[np.ndarray] = None,
+) -> Optional[np.ndarray]:
+    """1D path SGD on device; returns final positions x[idx] (host
+    numpy) or None when no multi-step path exists."""
+    import jax
+
+    pidx = pidx or PathIndex.from_graph(graph)
+    if pidx.num_nodes == 0:
+        return np.zeros(0)
+    if not pidx.has_multi_step_path():
+        return None
+    run, make_x0 = build_1d_runner(pidx, params)
+    x_final = run(make_x0(x0), jax.random.key(params.seed))
     return np.asarray(jax.device_get(x_final), dtype=np.float64)
 
 

@@ -1,0 +1,77 @@
+"""Multi-device sharded SGD tests on the virtual 8-device CPU mesh."""
+
+from dataclasses import replace
+
+import numpy as np
+import pytest
+
+from gfasort_tpu import PathIndex, YgsParams
+from gfasort_tpu.io import gfa
+from gfasort_tpu.parallel import (
+    ShardedIndex,
+    default_mesh,
+    partition_paths,
+    path_sgd_sort_sharded,
+)
+
+
+def test_partition_paths_balances():
+    shards = partition_paths([100, 1, 1, 1, 50, 49], 2)
+    loads = [sum([100, 1, 1, 1, 50, 49][p] for p in s) for s in shards]
+    assert abs(loads[0] - loads[1]) <= 2
+    assert sorted(p for s in shards for p in s) == list(range(6))
+
+
+def test_sharded_index_build(lil_gfa):
+    g = gfa.parse_gfa_numeric(lil_gfa)
+    pidx = PathIndex.from_graph(g)
+    sidx = ShardedIndex.build(pidx, 4)
+    assert sidx.step_node.shape[0] == 4
+    # every real step appears exactly once across shards
+    real = sidx.step_node[sidx.step_node >= 0]
+    assert len(real) == pidx.total_steps
+    # pad slots marked
+    assert (sidx.step_node == -1).sum() == sidx.step_node.size - pidx.total_steps
+
+
+@pytest.mark.parametrize("ndev", [1, 2, 8])
+def test_sharded_sgd_quality(lil_gfa, ndev):
+    from gfasort_tpu.ops.exact import path_sgd_sort_exact
+
+    g = gfa.parse_gfa_numeric(lil_gfa)
+    p = replace(YgsParams.from_graph(g).path_sgd, dtype="float64",
+                pow_mode="fpp")
+    mesh = default_mesh(ndev)
+    o = path_sgd_sort_sharded(g, p, mesh)
+    oe = path_sgd_sort_exact(g, p)
+    assert sorted(h >> 1 for h in o) == sorted(h >> 1 for h in oe)
+    re = {h >> 1: i for i, h in enumerate(oe)}
+    assert all(abs(i - re[h >> 1]) <= 2 for i, h in enumerate(o))
+
+
+def test_sharded_deterministic(lil_gfa):
+    g = gfa.parse_gfa_numeric(lil_gfa)
+    p = replace(YgsParams.from_graph(g).path_sgd, dtype="float64",
+                pow_mode="fpp")
+    mesh = default_mesh(4)
+    assert path_sgd_sort_sharded(g, p, mesh) == path_sgd_sort_sharded(g, p, mesh)
+
+
+def test_graft_entry_dryrun():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
+
+
+def test_graft_entry_fn_compiles():
+    import jax
+
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == args[0].shape
+    assert np.isfinite(np.asarray(out)).all()
