@@ -41,6 +41,10 @@ def main() -> int:
 
     import jax
 
+    # persistent compilation cache: remote (tunnel) compiles take minutes
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     dev = jax.devices()[0]
     print(f"[bench] device: {dev}", file=sys.stderr)
     tpu = bench_batched_1d(pidx, batch=BATCH, rounds=ROUNDS)

@@ -121,6 +121,45 @@ def bench_batched_1d(
     }
 
 
+def bench_sweep_1d(
+    pidx: PathIndex, rounds: int = 50, repeats: int = 3,
+    per_octave: int = 4, consensus_every: int = 4,
+    active_frac: Optional[float] = None,
+) -> dict:
+    """Time the gather-free offset-sweep engine (throughput mode)."""
+    from .ops.sweep import path_linear_sgd_sweep
+
+    # schedule: `rounds` sweeps of one iteration each
+    p = bench_params(pidx, 1, 1)
+    S = pidx.total_steps
+    N = pidx.num_nodes
+    frac = active_frac if active_frac is not None else float(
+        np.clip(N / max(S, 1), 1.0 / 16.0, 1.0)
+    )
+    ups = max(1, int(S * frac))
+    p = replace(p, iter_max=rounds - 1, min_term_updates=ups)
+
+    def once():
+        t0 = time.perf_counter()
+        r = path_linear_sgd_sweep(
+            None, p, pidx, per_octave=per_octave,
+            consensus_every=consensus_every, active_frac=frac,
+            return_info=True,
+        )
+        return time.perf_counter() - t0, r
+
+    once()  # warm-up/compile
+    best, res = min((once() for _ in range(repeats)), key=lambda t: t[0])
+    return {
+        "seconds": best,
+        "updates": res.updates_est,
+        "updates_per_s": res.updates_est / best,
+        "sweeps": res.sweeps,
+        "final_finite": bool(np.isfinite(res.x).all()),
+        "active_frac": frac,
+    }
+
+
 def bench_native_1d(pidx: PathIndex, n_updates: int = 2_000_000) -> Optional[dict]:
     """CPU baseline: the C++ sequential oracle inner loop (stands in
     for the Rust reference at -t 1; same per-update semantics)."""

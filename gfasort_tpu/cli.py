@@ -52,8 +52,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--layout-iter", type=int, default=30,
                    help="Layout iterations (L step)")
     p.add_argument("--engine", default="auto",
-                   choices=["auto", "exact", "batched"],
-                   help="SGD engine: exact oracle / batched TPU / auto")
+                   choices=["auto", "exact", "batched", "sweep", "sharded"],
+                   help="SGD engine: exact oracle / batched TPU / "
+                        "gather-free sweep / multi-device sharded / auto")
     p.add_argument("--seed", type=int, default=None,
                    help="Override the fixed seed (default 9399220)")
     p.add_argument("--batch", type=int, default=None,

@@ -1,0 +1,307 @@
+"""Gather-free high-throughput 1D SGD: offset-pair sweeps in step space.
+
+Motivation (measured on TPU v5e, see bench notes in the repo log): XLA
+gathers/scatters with random indices cost ~15 ns per row regardless of
+row width, so the gather-based batched engine tops out around ~10M
+pair-updates/s/chip.  This engine removes per-update random access
+entirely:
+
+* **State lives in step space**: ``xs[s]`` is the position of *step*
+  ``s`` (not node).  All per-update operands — partner position, path
+  id, rank — are reads at a *fixed relative offset* ``s ± k``, which
+  XLA implements as slice/concat (``roll``) fused into elementwise
+  passes at full HBM bandwidth.  No gathers in the hot loop.
+* **Quantized jump space**: each step samples its Zipf (or uniform)
+  jump exactly, then snaps it to the nearest of a static, log-spaced
+  offset set K (a few per octave up to ``space``).  The *term
+  distance* used in the update is the true path distance of the snapped
+  pair, so updates remain exact; only the jump-length distribution is
+  coarsened — the same kind of approximation the reference itself
+  applies beyond ``space_max`` via zeta quantization
+  (src/sgd.rs:311-331).  Distribution quality is validated against the
+  sequential oracle (tests + bench).
+* **Periodic node consensus**: steps of one node drift independently
+  within an epoch; every ``consensus_every`` sweeps, positions are
+  averaged per node (one scatter-mean + one gather, the only random
+  access, amortized over K·S updates).  This is bounded-staleness
+  Hogwild — the reference's racy scheme has unbounded interleaving.
+
+A sweep proposes one partner offset per step and applies the masked
+update for every offset bucket in a fused pass; ~S valid pair-updates
+per sweep.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional
+
+import numpy as np
+
+from ..graph import BidirectedGraph
+from ..index import PathIndex
+from ..params import PathSGDParams
+from .fastpow import zeta_table
+from .schedule import eta_schedule
+
+__all__ = ["offset_set", "path_linear_sgd_sweep", "path_sgd_sort_sweep"]
+
+
+def offset_set(space: int, per_octave: int = 4, dense_upto: int = 8) -> np.ndarray:
+    """Static log-spaced jump offsets: all of 1..dense_upto, then
+    ``per_octave`` per factor-2 up to ``space``."""
+    ks = set(range(1, min(dense_upto, space) + 1))
+    k = float(dense_upto)
+    ratio = 2.0 ** (1.0 / per_octave)
+    while k < space:
+        k *= ratio
+        ks.add(min(int(round(k)), space))
+    return np.asarray(sorted(ks), dtype=np.int32)
+
+
+@dataclass
+class SweepResult:
+    x: np.ndarray          # [N] final node positions
+    sweeps: int
+    updates_est: int
+
+
+def path_linear_sgd_sweep(
+    graph: Optional[BidirectedGraph],
+    params: PathSGDParams,
+    pidx: Optional[PathIndex] = None,
+    per_octave: int = 4,
+    consensus_every: int = 1,
+    active_frac: Optional[float] = None,
+    x0: Optional[np.ndarray] = None,
+    return_info: bool = False,
+):
+    """1D path SGD via offset sweeps.  Same output contract as
+    :func:`gfasort_tpu.ops.sgd.path_linear_sgd_batched`."""
+    import jax
+    import jax.numpy as jnp
+
+    pidx = pidx or PathIndex.from_graph(graph)
+    if pidx.num_nodes == 0:
+        return np.zeros(0)
+    if not pidx.has_multi_step_path():
+        return None
+
+    dtype = {"float32": np.float32, "float64": np.float64}[params.dtype]
+    fdt = {np.float32: jnp.float32, np.float64: jnp.float64}[dtype]
+    S = pidx.total_steps
+    N = pidx.num_nodes
+
+    # Jump lengths are RANKS, not bp: the reference clamps the jump to
+    # the available rank range (src/sgd.rs:462, :477), so no jump can
+    # exceed the longest path's step count even though ``space`` is in
+    # bp (src/ygs.rs:79).
+    max_jump = max(1, min(int(params.space), pidx.max_path_step_count - 1))
+    offs = offset_set(max_jump, per_octave)
+    K = len(offs)
+
+    # ---- static device arrays (elementwise residents, no gathers) ----
+    pos = jnp.asarray(pidx.step_pos, dtype=fdt)
+    path_arr = jnp.asarray(pidx.step_path.astype(np.int32))
+    rank_arr = jnp.asarray(pidx.step_rank.astype(np.int32))
+    cnt_arr = jnp.asarray(pidx.step_count_of_step.astype(np.int32))
+    node_arr = jnp.asarray(pidx.step_node_idx.astype(np.int32))
+    offs_j = jnp.asarray(offs)
+
+    # Active fraction per sweep: full-width (Jacobi) rounds measurably
+    # hurt fine-scale quality — every node receives the MEAN of ~S/N
+    # pulls against one stale snapshot (measured: DRB1 MAE 19.6 at
+    # B=S vs 7.9 at B=S/8).  Activating ~1 update per node per sweep
+    # recovers sequential-grade quality at full bandwidth.
+    if active_frac is None:
+        active_frac = float(np.clip(N / max(S, 1), 1.0 / 16.0, 1.0))
+    updates_per_sweep = max(1, int(S * active_frac))
+
+    # schedule: one iteration = ceil(mtu / updates_per_sweep) sweeps
+    etas = eta_schedule(
+        1.0 / params.eta_max, 1.0, params.iter_max,
+        params.iter_with_max_learning_rate, params.eps,
+    )
+    spi = max(1, -(-params.min_term_updates // updates_per_sweep))
+    sweep_eta = np.repeat(etas, spi)
+    sweep_cool = np.repeat(np.arange(params.iter_max + 1) > params.first_cooling_iteration, spi)
+    n_sweeps = len(sweep_eta)
+    etas_j = jnp.asarray(sweep_eta, dtype=fdt)
+    cool_j = jnp.asarray(sweep_cool)
+
+    zetas = zeta_table(
+        params.space, params.space_max, params.space_quantization_step,
+        params.theta,
+    )
+    zetas_j = jnp.asarray(zetas, dtype=fdt)
+    space = int(params.space)
+    space_max = int(params.space_max)
+    quant = int(params.space_quantization_step)
+    theta0 = float(params.theta)
+
+    def zipf_z(u, jump_space, theta):
+        """Vectorized DirtyZipfian (fast pow mode — this engine is the
+        throughput path; bit-parity sampling lives in the oracle)."""
+        n = jnp.maximum(jump_space, 1).astype(fdt)
+        si = jnp.minimum(
+            jnp.where(
+                jump_space > space_max,
+                space_max + (jump_space - space_max) // quant + 1,
+                jump_space,
+            ),
+            len(zetas) - 1,
+        )
+        zeta = zetas_j[si]
+
+        def powf(a, b):
+            a = jnp.asarray(a, fdt)
+            return jnp.exp(b * jnp.log(jnp.maximum(a, 1e-30)))
+
+        zeta2theta = 1.0 + powf(0.5, theta)
+        alpha = 1.0 / (1.0 - theta)
+        eta_z = (1.0 - powf(2.0 / n, 1.0 - theta)) / (1.0 - zeta2theta / zeta)
+        uz = u * zeta
+        general = 1.0 + n * powf(eta_z * u - eta_z + 1.0, alpha)
+        general = jnp.where(jnp.isnan(general), 0.0, general)
+        g = jnp.clip(general, 0.0, n).astype(jnp.int32)
+        z = jnp.where(uz < 1.0, 1, jnp.where(uz < zeta2theta, 2, g))
+        return jnp.minimum(z, jump_space)
+
+    def snap_to_offset(z):
+        """Index of the largest offset <= z (snap down, so the snapped
+        jump never exceeds the sampled one and stays within the
+        available rank range)."""
+        idx = jnp.searchsorted(offs_j, jnp.maximum(z, 1), side="right") - 1
+        return jnp.clip(idx, 0, K - 1)
+
+    def sweep(xs, key, eta, cooling, pos, path_arr, rank_arr, cnt_arr):
+        """One sweep: each step proposes one signed offset bucket; for
+        every bucket, apply the masked pair update via rolls."""
+        k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+        coin1 = jax.random.bernoulli(k1, 0.5, (S,))
+        act = (
+            jax.random.bernoulli(k5, active_frac, (S,))
+            if active_frac < 1.0
+            else jnp.ones((S,), bool)
+        )
+        use_zipf = cooling | coin1
+        coin2 = jax.random.bernoulli(k2, 0.5, (S,))
+        backward = (rank_arr > 0) & (coin2 | (rank_arr == cnt_arr - 1))
+        forward = (~backward) & (rank_arr < cnt_arr - 1)
+        avail = jnp.where(backward, rank_arr, cnt_arr - 1 - rank_arr)
+        jump_space = jnp.minimum(space, avail)
+        u = jax.random.uniform(k3, (S,), dtype=fdt)
+        theta = jnp.where(cooling, 0.001, theta0)
+        z_zipf = zipf_z(u, jump_space, theta)
+        # uniform branch: |rank_b - rank_a| for uniform rank_b mapped to
+        # a jump length (approximation: uniform over available ranks)
+        z_unif = 1 + jax.random.randint(
+            k4, (S,), 0, jnp.maximum(avail, 1), dtype=jnp.int32
+        )
+        z = jnp.where(use_zipf, z_zipf, z_unif)
+        oidx = snap_to_offset(z)
+        sign_back = backward  # True: partner at s - k ... but the
+        # actual memory offset is rank-based; partner step = s ± k
+        active = act & (forward | backward) & (cnt_arr > 1)
+
+        mask_f = active & ~sign_back  # chose partner s + k
+        mask_b = active & sign_back   # chose partner s - k
+
+        # IMPORTANT: every roll below applies to an INPUT array only.
+        # Rolling a computed value (e.g. the update itself) breaks XLA
+        # fusion and blows up both compile time and runtime; instead the
+        # partner-side contribution is recomputed from the receiver's
+        # perspective with inputs rolled the other way (measured ~100x
+        # faster on TPU v5e).
+        dsum = jnp.zeros_like(xs)
+        csum = jnp.zeros_like(xs)
+        for ki in range(K):
+            k = int(offs[ki])
+            choose_f = mask_f & (oidx == ki)
+            choose_b = mask_b & (oidx == ki)
+
+            def half(shift, w_bool):
+                """Contribution received at each element from the pair
+                (t, t+shift): dx = xs[t] - xs[t+shift]; the element is
+                the '-r_x' side of its pair when it is the lower-rank
+                endpoint.  Returns (delta, weight)."""
+                pos_o = jnp.roll(pos, shift)
+                rank_o = jnp.roll(rank_arr, shift)
+                path_o = jnp.roll(path_arr, shift)
+                xs_o = jnp.roll(xs, shift)
+                pair_ok = (path_o == path_arr) & (rank_o == rank_arr - shift)
+                d = jnp.abs(pos - pos_o)
+                valid = pair_ok & (d != 0)
+                w = jnp.where(valid, w_bool.astype(xs.dtype), fdt(0))
+                safe = jnp.where(valid, d, 1.0)
+                mu = jnp.minimum(eta / safe, 1.0)
+                dx = xs - xs_o
+                dx = jnp.where(dx == 0, fdt(1e-9), dx)
+                mag = jnp.abs(dx)
+                # for pair (a=me, b=other): I am 'a', I receive -r_x
+                r_x = (mu * (mag - safe) / 2.0 / mag) * dx
+                return -w * r_x, w
+
+            # partner ahead of me (t+k): I chose +k, or they chose -k
+            d1, w1 = half(-k, choose_f | jnp.roll(choose_b, -k))
+            # partner behind me (t-k): I chose -k, or they chose +k
+            d2, w2 = half(+k, choose_b | jnp.roll(choose_f, +k))
+            dsum = dsum + d1 + d2
+            csum = csum + w1 + w2
+        return xs + dsum / jnp.maximum(csum, 1)
+
+    def consensus(xs, node_arr):
+        """Average step positions per node, write back (scatter-mean +
+        gather — the only random access, amortized)."""
+        ssum = jnp.zeros(N, xs.dtype).at[node_arr].add(xs)
+        scnt = jnp.zeros(N, xs.dtype).at[node_arr].add(1.0)
+        x_node = ssum / jnp.maximum(scnt, 1)
+        return x_node[node_arr], x_node
+
+    # NOTE: the big static arrays are ARGUMENTS, not closures — XLA
+    # constant-folds rolls of closed-over constants into the executable
+    # (K rolled copies of each array => multi-GB programs).
+    @partial(jax.jit, donate_argnums=(0,))
+    def run(xs, x_node_init, base_key, pos, path_a, rank_a, cnt_a, node_a):
+        def body(r, xs):
+            key = jax.random.fold_in(base_key, r)
+            xs = sweep(xs, key, etas_j[r], cool_j[r], pos, path_a, rank_a, cnt_a)
+            do_cons = (r % consensus_every) == (consensus_every - 1)
+            xs = jax.lax.cond(
+                do_cons, lambda v: consensus(v, node_a)[0], lambda v: v, xs
+            )
+            return xs
+
+        xs = jax.lax.fori_loop(0, n_sweeps, body, xs)
+        _, x_node = consensus(xs, node_a)
+        # nodes with no path steps keep their initial positions
+        # (reference: untouched x entries, src/sgd.rs:264-294)
+        scnt = jnp.zeros(N, xs.dtype).at[node_a].add(1.0)
+        return jnp.where(scnt > 0, x_node, x_node_init)
+
+    x_node0 = np.asarray(
+        x0 if x0 is not None else pidx.initial_positions(), dtype=dtype
+    )
+    xs0 = jnp.asarray(x_node0[pidx.step_node_idx], dtype=fdt)
+    x_final = run(
+        xs0, jnp.asarray(x_node0, dtype=fdt), jax.random.key(params.seed),
+        pos, path_arr, rank_arr, cnt_arr, node_arr,
+    )
+    x = np.asarray(jax.device_get(x_final), dtype=np.float64)
+    if return_info:
+        return SweepResult(
+            x=x, sweeps=n_sweeps, updates_est=n_sweeps * updates_per_sweep
+        )
+    return x
+
+
+def path_sgd_sort_sweep(graph: BidirectedGraph, params: PathSGDParams, **kw):
+    from .. import handle as H
+
+    pidx = PathIndex.from_graph(graph)
+    x = path_linear_sgd_sweep(graph, params, pidx, **kw)
+    if x is None or len(x) == 0:
+        return []
+    order = np.argsort(x, kind="stable")
+    return [H.forward(int(pidx.node_ids[idx])) for idx in order]

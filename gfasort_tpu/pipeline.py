@@ -85,6 +85,14 @@ def _sgd_order(graph: BidirectedGraph, params: PathSGDParams, engine: str):
         from .ops.sgd import path_sgd_sort_batched
 
         return path_sgd_sort_batched(graph, params)
+    if engine == "sweep":
+        from .ops.sweep import path_sgd_sort_sweep
+
+        return path_sgd_sort_sweep(graph, params)
+    if engine == "sharded":
+        from .parallel import path_sgd_sort_sharded
+
+        return path_sgd_sort_sharded(graph, params)
     raise ValueError(f"unknown engine {engine!r}")
 
 

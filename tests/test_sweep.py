@@ -1,0 +1,74 @@
+"""Offset-sweep engine tests (gather-free throughput mode)."""
+
+from dataclasses import replace
+
+import numpy as np
+import pytest
+
+from gfasort_tpu import PathIndex, YgsParams
+from gfasort_tpu.io import gfa
+from gfasort_tpu.ops.sweep import offset_set, path_sgd_sort_sweep, path_linear_sgd_sweep
+
+
+def test_offset_set_structure():
+    offs = offset_set(100, per_octave=4)
+    assert offs[0] == 1
+    assert offs[-1] <= 100
+    assert (np.diff(offs) > 0).all()
+    # dense at the bottom
+    assert list(offs[:8]) == [1, 2, 3, 4, 5, 6, 7, 8]
+    # a couple per octave above
+    assert len(offs) < 40
+
+
+def test_offset_set_small_space():
+    assert list(offset_set(3)) == [1, 2, 3]
+    assert list(offset_set(1)) == [1]
+
+
+@pytest.mark.parametrize("name", ["simple.gfa", "lil.gfa"])
+def test_sweep_quality_small(data_dir, name):
+    from gfasort_tpu.ops.exact import path_sgd_sort_exact
+
+    g = gfa.parse_gfa_numeric((data_dir / name).read_text())
+    p = replace(YgsParams.from_graph(g).path_sgd, dtype="float32",
+                pow_mode="fast")
+    o = path_sgd_sort_sweep(g, p)
+    oe = path_sgd_sort_exact(g, replace(p, dtype="float64", pow_mode="fpp"))
+    assert sorted(h >> 1 for h in o) == sorted(h >> 1 for h in oe)
+    re = {h >> 1: i for i, h in enumerate(oe)}
+    assert all(abs(i - re[h >> 1]) <= 2 for i, h in enumerate(o))
+
+
+def test_sweep_deterministic(lil_gfa):
+    g = gfa.parse_gfa_numeric(lil_gfa)
+    p = replace(YgsParams.from_graph(g).path_sgd, dtype="float32",
+                pow_mode="fast")
+    assert path_sgd_sort_sweep(g, p) == path_sgd_sort_sweep(g, p)
+
+
+def test_sweep_pathless_nodes_keep_positions():
+    from gfasort_tpu import BidirectedGraph
+    from gfasort_tpu import handle as H
+
+    g = BidirectedGraph()
+    for i in (1, 2, 3, 4):
+        g.add_node(i, b"ACGT")
+    g.build_path("p", [(1, False), (2, False)])
+    # nodes 3,4 are on no path
+    p = replace(YgsParams.from_graph(g).path_sgd, dtype="float32",
+                pow_mode="fast")
+    pidx = PathIndex.from_graph(g)
+    x = path_linear_sgd_sweep(g, p, pidx)
+    x0 = pidx.initial_positions()
+    # path-less nodes unchanged
+    np.testing.assert_allclose(x[2:], x0[2:])
+
+
+def test_sweep_no_paths_returns_none():
+    from gfasort_tpu import BidirectedGraph
+
+    g = BidirectedGraph()
+    g.add_node(1, b"A")
+    p = YgsParams().path_sgd
+    assert path_linear_sgd_sweep(g, p) is None
