@@ -20,7 +20,7 @@ _BUILD = _HERE / "_build"
 _LOCK = threading.Lock()
 _LIB: Optional[ctypes.CDLL] = None
 
-SOURCES = ["sgd_exact.cpp"]
+SOURCES = ["sgd_exact.cpp", "gfa_parser.cpp"]
 # -ffp-contract=off: forbid FMA contraction so every f64 op rounds like
 # the Rust reference (and the Python oracle); GCC's default
 # -ffp-contract=fast breaks bit parity.
@@ -78,6 +78,31 @@ def _declare(lib: ctypes.CDLL) -> None:
     f64 = ctypes.c_double
     pi64 = ctypes.POINTER(ctypes.c_int64)
     pf64 = ctypes.POINTER(ctypes.c_double)
+    void_p = ctypes.c_void_p
+    char_p = ctypes.c_char_p
+
+    lib.gfa_parse_file.restype = void_p
+    lib.gfa_parse_file.argtypes = [char_p]
+    lib.gfa_parse_buffer.restype = void_p
+    lib.gfa_parse_buffer.argtypes = [char_p, i64]
+    lib.gfa_error.restype = char_p
+    lib.gfa_error.argtypes = [void_p]
+    for name in ("gfa_n_segs", "gfa_n_links", "gfa_n_paths", "gfa_n_steps",
+                 "gfa_seq_blob_len", "gfa_path_names_len"):
+        fn = getattr(lib, name)
+        fn.restype = i64
+        fn.argtypes = [void_p]
+    for name in ("gfa_seg_ids", "gfa_seq_offsets", "gfa_link_from",
+                 "gfa_link_to", "gfa_step_handles", "gfa_path_offsets"):
+        fn = getattr(lib, name)
+        fn.restype = pi64
+        fn.argtypes = [void_p]
+    for name in ("gfa_seq_blob", "gfa_path_names"):
+        fn = getattr(lib, name)
+        fn.restype = void_p  # raw pointer; read via ctypes.string_at
+        fn.argtypes = [void_p]
+    lib.gfa_free.restype = None
+    lib.gfa_free.argtypes = [void_p]
 
     lib.sgd1d_exact.restype = i64
     lib.sgd1d_exact.argtypes = [
