@@ -97,7 +97,7 @@ def bench_batched_1d(
     from .ops.sgd import build_1d_runner
 
     params = bench_params(pidx, batch, rounds)
-    run, make_x0 = build_1d_runner(pidx, params)
+    run, make_x0, _n = build_1d_runner(pidx, params)
     key = jax.random.key(params.seed)
     # warm-up / compile
     jax.block_until_ready(run(make_x0(), key))

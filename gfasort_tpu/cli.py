@@ -75,14 +75,12 @@ def main(argv=None) -> int:
     if args.verbose >= 1:
         log(f"[gfasort] reading {args.input}")
     try:
-        with open(args.input) as fh:
-            content = fh.read()
+        from .io.fast_gfa import load_gfa_numeric_fast
+
+        graph = load_gfa_numeric_fast(args.input)
     except OSError as e:
         print(f"Error reading file: {e}", file=sys.stderr)
         return 1
-
-    try:
-        graph = gfa_io.parse_gfa_numeric(content)
     except (ValueError, IndexError) as e:
         print(f"Error parsing GFA: {e}", file=sys.stderr)
         return 1

@@ -223,12 +223,17 @@ def _make_sampler(di: DeviceIndex, params, zetas: np.ndarray, sample_dtype,
     return sample_pairs
 
 
-def build_1d_runner(pidx: PathIndex, params: PathSGDParams):
+def build_1d_runner(
+    pidx: PathIndex, params: PathSGDParams, segment_rounds: Optional[int] = None
+):
     """Construct the jitted full-run function for the 1D engine.
-    Returns (run, make_x0) where run(x, base_key) executes the whole
-    round loop on device and make_x0() builds a fresh initial-position
-    device array (x is donated per call).  Used by the engine and by
-    bench.py (so timing reuses one compiled executable)."""
+    Returns (run, make_x0, n_rounds): run(x, base_key[, start]) executes
+    the round loop on device (x donated per call); make_x0() builds a
+    fresh initial-position device array.  With ``segment_rounds`` set,
+    ``run(x, key, start)`` executes rounds [start, start+segment_rounds)
+    — rounds past the schedule are no-ops (eta 0) — enabling
+    checkpoint/resume between segments.  Used by the engine, bench.py,
+    and the checkpoint runner (timing reuses one compiled executable)."""
     import jax
     import jax.numpy as jnp
 
@@ -248,14 +253,20 @@ def build_1d_runner(pidx: PathIndex, params: PathSGDParams):
     sample_pairs = _make_sampler(di, params, zetas, sample_dtype, B)
     step_pos = jnp.asarray(di.step_pos)
     step_node = jnp.asarray(di.step_node)
+    if segment_rounds is not None:
+        # pad the schedule so out-of-range rounds are no-ops (eta 0)
+        pad = segment_rounds
+        round_eta = np.concatenate([round_eta, np.zeros(pad)])
+        round_cooling = np.concatenate([round_cooling, np.zeros(pad, bool)])
     etas_r = jnp.asarray(round_eta, dtype=_f(dtype))
     cool_r = jnp.asarray(round_cooling)
     S = di.total_steps
     fdt = _f(dtype)
 
     @partial(jax.jit, donate_argnums=(0,))
-    def run(x, base_key):
-        def round_body(r, x):
+    def run(x, base_key, start=0):
+        def round_body(rr, x):
+            r = jnp.minimum(rr + start, len(round_eta) - 1) if segment_rounds is not None else rr
             key = jax.random.fold_in(base_key, r)
             sa, sb, valid = sample_pairs(key, cool_r[r], 0, S)
             pos_a = step_pos[sa]
@@ -281,14 +292,15 @@ def build_1d_runner(pidx: PathIndex, params: PathSGDParams):
             cnt = jnp.zeros_like(x).at[i].add(one).at[j].add(one)
             return x + dsum / jnp.maximum(cnt, 1)
 
-        return jax.lax.fori_loop(0, n_rounds, round_body, x)
+        loop_n = segment_rounds if segment_rounds is not None else n_rounds
+        return jax.lax.fori_loop(0, loop_n, round_body, x)
 
     def make_x0(x0=None):
         return jnp.asarray(
             x0 if x0 is not None else pidx.initial_positions(), dtype=fdt
         )
 
-    return run, make_x0
+    return run, make_x0, n_rounds
 
 
 def path_linear_sgd_batched(
@@ -306,7 +318,7 @@ def path_linear_sgd_batched(
         return np.zeros(0)
     if not pidx.has_multi_step_path():
         return None
-    run, make_x0 = build_1d_runner(pidx, params)
+    run, make_x0, _n = build_1d_runner(pidx, params)
     x_final = run(make_x0(x0), jax.random.key(params.seed))
     return np.asarray(jax.device_get(x_final), dtype=np.float64)
 
