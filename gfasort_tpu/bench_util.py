@@ -99,17 +99,17 @@ def bench_batched_1d(
     params = bench_params(pidx, batch, rounds)
     run, make_x0, _n = build_1d_runner(pidx, params)
     key = jax.random.key(params.seed)
-    # warm-up / compile
-    jax.block_until_ready(run(make_x0(), key))
+    # warm-up / compile (readback forces execution; block_until_ready
+    # does not reliably block on the axon tunnel backend)
+    np.asarray(jax.device_get(run(make_x0(), key)))
     best = float("inf")
     for _ in range(repeats):
         x0 = make_x0()
-        jax.block_until_ready(x0)
+        _ = np.asarray(x0[:1])
         t0 = time.perf_counter()
-        x = jax.block_until_ready(run(x0, key))
+        x = np.asarray(jax.device_get(run(x0, key)))
         dt = time.perf_counter() - t0
         best = min(best, dt)
-    x = np.asarray(x)
     total_updates = batch * rounds
     return {
         "seconds": best,
@@ -126,8 +126,15 @@ def bench_sweep_1d(
     per_octave: int = 4, consensus_every: int = 4,
     active_frac: Optional[float] = None,
 ) -> dict:
-    """Time the gather-free offset-sweep engine (throughput mode)."""
-    from .ops.sweep import path_linear_sgd_sweep
+    """Time the gather-free offset-sweep engine (throughput mode).
+
+    Timing protocol: the runner is built (and jitted) ONCE; each timed
+    run ends with an explicit device_get readback — on the axon tunnel
+    backend, ``block_until_ready`` does not reliably block, so only the
+    readback bounds real execution."""
+    import jax
+
+    from .ops.sweep import build_sweep_runner
 
     # schedule: `rounds` sweeps of one iteration each
     p = bench_params(pidx, 1, 1)
@@ -139,23 +146,29 @@ def bench_sweep_1d(
     ups = max(1, int(S * frac))
     p = replace(p, iter_max=rounds - 1, min_term_updates=ups)
 
+    run, arrays, make_state, info = build_sweep_runner(
+        pidx, p, per_octave=per_octave, consensus_every=consensus_every,
+        active_frac=frac,
+    )
+    key = jax.random.key(p.seed)
+
     def once():
+        xs0, xn0 = make_state()
+        _ = np.asarray(xn0[:1])  # sync inputs
         t0 = time.perf_counter()
-        r = path_linear_sgd_sweep(
-            None, p, pidx, per_octave=per_octave,
-            consensus_every=consensus_every, active_frac=frac,
-            return_info=True,
-        )
-        return time.perf_counter() - t0, r
+        out = run(xs0, xn0, key, *arrays)
+        x = np.asarray(jax.device_get(out))  # force execution
+        return time.perf_counter() - t0, x
 
     once()  # warm-up/compile
-    best, res = min((once() for _ in range(repeats)), key=lambda t: t[0])
+    best, x = min((once() for _ in range(repeats)), key=lambda t: t[0])
+    updates = info["n_sweeps"] * info["updates_per_sweep"]
     return {
         "seconds": best,
-        "updates": res.updates_est,
-        "updates_per_s": res.updates_est / best,
-        "sweeps": res.sweeps,
-        "final_finite": bool(np.isfinite(res.x).all()),
+        "updates": updates,
+        "updates_per_s": updates / best,
+        "sweeps": info["n_sweeps"],
+        "final_finite": bool(np.isfinite(x).all()),
         "active_frac": frac,
     }
 

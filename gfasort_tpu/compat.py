@@ -16,7 +16,7 @@ from typing import Dict, List, Set, Tuple
 from . import handle as H
 from .graph import BiPath, BidirectedGraph
 
-__all__ = ["SimpleGraph", "tarjan_scc", "union_find_components"]
+__all__ = ["SimpleGraph", "tarjan_scc", "union_find_components", "compact_simple"]
 
 
 @dataclass
@@ -140,6 +140,25 @@ def tarjan_scc(graph: SimpleGraph) -> List[List[int]]:
                         break
                 sccs.append(sorted(comp))
     return sccs
+
+
+def compact_simple(graph: SimpleGraph) -> int:
+    """ODGI-style compaction on the legacy graph with path-sequence
+    preservation (src/compaction.rs:258-425): merge union-find chain
+    components whose every path usage is a complete run; returns the
+    number of merges.  Delegates to the bidirected compactor, which
+    implements exactly those validations."""
+    from .algos.unchop import compact as _compact
+
+    g = graph.to_bidirected()
+    before = g.node_count()
+    _compact(g)
+    g.renumber_nodes_sequentially()
+    merged = SimpleGraph.from_bidirected(g)
+    graph.nodes = merged.nodes
+    graph.edges = merged.edges
+    graph.paths = merged.paths
+    return before - g.node_count()
 
 
 def union_find_components(graph: SimpleGraph) -> List[List[int]]:

@@ -301,6 +301,23 @@ class BidirectedGraph:
                     added += 1
         return added
 
+    def validate_paths(self) -> Dict[str, int]:
+        """Path statistics (src/graph_ops.rs:805-835): counts of
+        consecutive repeated steps and max per-node visit count per
+        path.  Repeated nodes are VALID (structural variation); this
+        reports, never fails."""
+        stats = {"paths_with_repeats": 0, "consecutive_repeats": 0}
+        for path in self.paths:
+            steps = path.steps
+            if len(steps) < 2:
+                continue
+            consec = int((steps[:-1] == steps[1:]).sum())
+            ids, counts = np.unique(steps >> 1, return_counts=True)
+            if consec > 0 or (counts > 5).any():
+                stats["paths_with_repeats"] += 1
+            stats["consecutive_repeats"] += consec
+        return stats
+
     # ------------------------------------------------------------------
     # Misc
     # ------------------------------------------------------------------
@@ -330,3 +347,18 @@ class BidirectedGraph:
             f"BidirectedGraph(nodes={self.node_count()}, "
             f"edges={len(self.edges)}, paths={len(self.paths)})"
         )
+
+
+def alignment_to_edges(
+    query_handle: int,
+    target_handle: int,
+    query_len: int,
+    target_len: int,
+    is_reverse_alignment: bool,
+) -> List[Tuple[int, int]]:
+    """Edge(s) implied by an oriented alignment
+    (src/graph_ops.rs:2028-2049): for reverse alignments the target
+    handle is flipped; one edge from query end to target start."""
+    del query_len, target_len  # kept for API parity; unused (as in ref)
+    to_h = H.flip(target_handle) if is_reverse_alignment else target_handle
+    return [(query_handle, to_h)]

@@ -45,7 +45,7 @@ from ..params import PathSGDParams
 from .fastpow import zeta_table
 from .schedule import eta_schedule
 
-__all__ = ["offset_set", "path_linear_sgd_sweep", "path_sgd_sort_sweep"]
+__all__ = ["offset_set", "build_sweep_runner", "path_linear_sgd_sweep", "path_sgd_sort_sweep"]
 
 
 def offset_set(space: int, per_octave: int = 4, dense_upto: int = 8) -> np.ndarray:
@@ -67,26 +67,21 @@ class SweepResult:
     updates_est: int
 
 
-def path_linear_sgd_sweep(
-    graph: Optional[BidirectedGraph],
+def build_sweep_runner(
+    pidx: PathIndex,
     params: PathSGDParams,
-    pidx: Optional[PathIndex] = None,
     per_octave: int = 4,
-    consensus_every: int = 1,
+    consensus_every: int = 4,
     active_frac: Optional[float] = None,
-    x0: Optional[np.ndarray] = None,
-    return_info: bool = False,
 ):
-    """1D path SGD via offset sweeps.  Same output contract as
-    :func:`gfasort_tpu.ops.sgd.path_linear_sgd_batched`."""
+    """Construct the jitted sweep-engine runner once.  Returns
+    (run_fn, arrays, make_state, info) where
+    ``run_fn(xs, x_node_init, base_key, *arrays)`` executes the whole
+    schedule on device.  Building once matters: re-tracing the K-offset
+    body costs seconds of host time per call (it dwarfed device time in
+    early benchmarks)."""
     import jax
     import jax.numpy as jnp
-
-    pidx = pidx or PathIndex.from_graph(graph)
-    if pidx.num_nodes == 0:
-        return np.zeros(0)
-    if not pidx.has_multi_step_path():
-        return None
 
     dtype = {"float32": np.float32, "float64": np.float64}[params.dtype]
     fdt = {np.float32: jnp.float32, np.float64: jnp.float64}[dtype]
@@ -175,7 +170,7 @@ def path_linear_sgd_sweep(
         idx = jnp.searchsorted(offs_j, jnp.maximum(z, 1), side="right") - 1
         return jnp.clip(idx, 0, K - 1)
 
-    def sweep(xs, key, eta, cooling, pos, path_arr, rank_arr, cnt_arr):
+    def sweep(xs, key, eta, cooling, pos, rank_arr, cnt_arr):
         """One sweep: each step proposes one signed offset bucket; for
         every bucket, apply the masked pair update via rolls."""
         k1, k2, k3, k4, k5 = jax.random.split(key, 5)
@@ -223,14 +218,17 @@ def path_linear_sgd_sweep(
 
             def half(shift, w_bool):
                 """Contribution received at each element from the pair
-                (t, t+shift): dx = xs[t] - xs[t+shift]; the element is
-                the '-r_x' side of its pair when it is the lower-rank
-                endpoint.  Returns (delta, weight)."""
+                (t, t+shift): dx = xs[t] - xs[t+shift].  Partner-in-path
+                validity is LOCAL: paths are contiguous in step space,
+                so the partner at t+k is in my path iff rank+k < cnt
+                (ahead) / rank >= k (behind) — no rolled int arrays
+                needed (halves the sweep's HBM traffic)."""
                 pos_o = jnp.roll(pos, shift)
-                rank_o = jnp.roll(rank_arr, shift)
-                path_o = jnp.roll(path_arr, shift)
                 xs_o = jnp.roll(xs, shift)
-                pair_ok = (path_o == path_arr) & (rank_o == rank_arr - shift)
+                pair_ok = (
+                    rank_arr - shift < cnt_arr if shift < 0
+                    else rank_arr >= shift
+                )
                 d = jnp.abs(pos - pos_o)
                 valid = pair_ok & (d != 0)
                 w = jnp.where(valid, w_bool.astype(xs.dtype), fdt(0))
@@ -263,10 +261,10 @@ def path_linear_sgd_sweep(
     # constant-folds rolls of closed-over constants into the executable
     # (K rolled copies of each array => multi-GB programs).
     @partial(jax.jit, donate_argnums=(0,))
-    def run(xs, x_node_init, base_key, pos, path_a, rank_a, cnt_a, node_a):
+    def run(xs, x_node_init, base_key, pos, rank_a, cnt_a, node_a):
         def body(r, xs):
             key = jax.random.fold_in(base_key, r)
-            xs = sweep(xs, key, etas_j[r], cool_j[r], pos, path_a, rank_a, cnt_a)
+            xs = sweep(xs, key, etas_j[r], cool_j[r], pos, rank_a, cnt_a)
             do_cons = (r % consensus_every) == (consensus_every - 1)
             xs = jax.lax.cond(
                 do_cons, lambda v: consensus(v, node_a)[0], lambda v: v, xs
@@ -280,18 +278,49 @@ def path_linear_sgd_sweep(
         scnt = jnp.zeros(N, xs.dtype).at[node_a].add(1.0)
         return jnp.where(scnt > 0, x_node, x_node_init)
 
-    x_node0 = np.asarray(
-        x0 if x0 is not None else pidx.initial_positions(), dtype=dtype
+    arrays = (pos, rank_arr, cnt_arr, node_arr)
+
+    def make_state(x0=None):
+        x_node0 = np.asarray(
+            x0 if x0 is not None else pidx.initial_positions(), dtype=dtype
+        )
+        xs0 = jnp.asarray(x_node0[pidx.step_node_idx], dtype=fdt)
+        return xs0, jnp.asarray(x_node0, dtype=fdt)
+
+    info = {"n_sweeps": n_sweeps, "updates_per_sweep": updates_per_sweep,
+            "active_frac": active_frac, "n_offsets": K}
+    return run, arrays, make_state, info
+
+
+def path_linear_sgd_sweep(
+    graph: Optional[BidirectedGraph],
+    params: PathSGDParams,
+    pidx: Optional[PathIndex] = None,
+    per_octave: int = 4,
+    consensus_every: int = 4,
+    active_frac: Optional[float] = None,
+    x0: Optional[np.ndarray] = None,
+    return_info: bool = False,
+):
+    """1D path SGD via offset sweeps.  Same output contract as
+    :func:`gfasort_tpu.ops.sgd.path_linear_sgd_batched`."""
+    import jax
+
+    pidx = pidx or PathIndex.from_graph(graph)
+    if pidx.num_nodes == 0:
+        return np.zeros(0)
+    if not pidx.has_multi_step_path():
+        return None
+    run, arrays, make_state, info = build_sweep_runner(
+        pidx, params, per_octave, consensus_every, active_frac
     )
-    xs0 = jnp.asarray(x_node0[pidx.step_node_idx], dtype=fdt)
-    x_final = run(
-        xs0, jnp.asarray(x_node0, dtype=fdt), jax.random.key(params.seed),
-        pos, path_arr, rank_arr, cnt_arr, node_arr,
-    )
+    xs0, x_node0 = make_state(x0)
+    x_final = run(xs0, x_node0, jax.random.key(params.seed), *arrays)
     x = np.asarray(jax.device_get(x_final), dtype=np.float64)
     if return_info:
         return SweepResult(
-            x=x, sweeps=n_sweeps, updates_est=n_sweeps * updates_per_sweep
+            x=x, sweeps=info["n_sweeps"],
+            updates_est=info["n_sweeps"] * info["updates_per_sweep"],
         )
     return x
 
