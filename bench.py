@@ -47,10 +47,19 @@ def main() -> int:
 
     dev = jax.devices()[0]
     print(f"[bench] device: {dev}", file=sys.stderr)
-    tpu = bench_batched_1d(pidx, batch=BATCH, rounds=ROUNDS)
-    print(f"[bench] batched engine: {tpu}", file=sys.stderr)
+    from gfasort_tpu.bench_util import bench_sweep_1d
+
+    tpu = bench_sweep_1d(
+        pidx, rounds=ROUNDS, repeats=3, consensus_every=8, per_octave=3
+    )
+    print(f"[bench] sweep engine (headline): {tpu}", file=sys.stderr)
     if not tpu["final_finite"]:
         print("[bench] WARNING: non-finite positions", file=sys.stderr)
+    try:
+        batched = bench_batched_1d(pidx, batch=BATCH, rounds=ROUNDS, repeats=2)
+        print(f"[bench] batched engine (secondary): {batched}", file=sys.stderr)
+    except Exception as e:  # secondary metric; never fail the bench
+        print(f"[bench] batched engine skipped: {e}", file=sys.stderr)
 
     cpu = bench_native_1d(pidx, n_updates=2_000_000)
     print(f"[bench] native oracle baseline: {cpu}", file=sys.stderr)

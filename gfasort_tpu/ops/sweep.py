@@ -163,37 +163,53 @@ def build_sweep_runner(
         z = jnp.where(uz < 1.0, 1, jnp.where(uz < zeta2theta, 2, g))
         return jnp.minimum(z, jump_space)
 
+    # For the arithmetic snap: offsets are exactly {1..dense} then
+    # round(dense * r^m); invert with a log2 and fix the off-by-one from
+    # rounding by comparing against the actual table value.
+    _dense = int((offs <= 8).sum())
+    _ratio_log = 1.0 / per_octave
+
     def snap_to_offset(z):
         """Index of the largest offset <= z (snap down, so the snapped
         jump never exceeds the sampled one and stays within the
-        available rank range)."""
-        idx = jnp.searchsorted(offs_j, jnp.maximum(z, 1), side="right") - 1
-        return jnp.clip(idx, 0, K - 1)
+        available rank range).  Arithmetic (no searchsorted): offsets
+        are 1..dense then log-spaced with `per_octave` per factor 2."""
+        z = jnp.maximum(z, 1)
+        lz = jnp.log2(z.astype(fdt)) - jnp.log2(fdt(_dense))
+        m = jnp.floor(lz / _ratio_log).astype(jnp.int32)
+        idx_log = _dense - 1 + jnp.maximum(m, 0) + 1
+        idx = jnp.where(z <= _dense, z.astype(jnp.int32) - 1,
+                        jnp.clip(idx_log, _dense - 1, K - 1))
+        # rounding guard: ensure offs[idx] <= z (one step down if not)
+        too_big = offs_j[idx] > z
+        idx = jnp.where(too_big, jnp.maximum(idx - 1, 0), idx)
+        return idx
 
     def sweep(xs, key, eta, cooling, pos, rank_arr, cnt_arr):
         """One sweep: each step proposes one signed offset bucket; for
         every bucket, apply the masked pair update via rolls."""
-        k1, k2, k3, k4, k5 = jax.random.split(key, 5)
-        coin1 = jax.random.bernoulli(k1, 0.5, (S,))
+        k1, k2 = jax.random.split(key, 2)
+        # one 32-bit draw supplies all three coins (top bits)
+        bits = jax.random.bits(k1, (S,), jnp.uint32)
+        coin1 = (bits >> 31) == 1
+        coin2 = ((bits >> 30) & 1) == 1
         act = (
-            jax.random.bernoulli(k5, active_frac, (S,))
+            (bits & 0xFFFFF) < jnp.uint32(active_frac * (1 << 20))
             if active_frac < 1.0
             else jnp.ones((S,), bool)
         )
         use_zipf = cooling | coin1
-        coin2 = jax.random.bernoulli(k2, 0.5, (S,))
         backward = (rank_arr > 0) & (coin2 | (rank_arr == cnt_arr - 1))
         forward = (~backward) & (rank_arr < cnt_arr - 1)
         avail = jnp.where(backward, rank_arr, cnt_arr - 1 - rank_arr)
         jump_space = jnp.minimum(space, avail)
-        u = jax.random.uniform(k3, (S,), dtype=fdt)
+        u = jax.random.uniform(k2, (S,), dtype=fdt)
         theta = jnp.where(cooling, 0.001, theta0)
         z_zipf = zipf_z(u, jump_space, theta)
         # uniform branch: |rank_b - rank_a| for uniform rank_b mapped to
-        # a jump length (approximation: uniform over available ranks)
-        z_unif = 1 + jax.random.randint(
-            k4, (S,), 0, jnp.maximum(avail, 1), dtype=jnp.int32
-        )
+        # a jump length (approximation: uniform over available ranks;
+        # multiply-based, reusing u)
+        z_unif = 1 + (u * jnp.maximum(avail, 1).astype(fdt)).astype(jnp.int32)
         z = jnp.where(use_zipf, z_zipf, z_unif)
         oidx = snap_to_offset(z)
         sign_back = backward  # True: partner at s - k ... but the

@@ -1,0 +1,286 @@
+"""Gather-free nD layout SGD: offset-pair sweeps in step space.
+
+The nD twin of :mod:`gfasort_tpu.ops.sweep` for the `L` pipeline step
+(reference semantics: gfasort ``src/sgd.rs:773-1188``).  State is the
+per-step, per-end coordinate block ``cs[S, 2, D]`` (end 0 = '+', 1 =
+'-'); each term randomly picks which end of each endpoint to move
+(``:1060-1077``), distances are Euclidean over D dims, and node-end
+coupling (all steps of a node share its two end coordinates) is
+restored by periodic consensus over ``(node, end)`` keys.
+
+Same hot-loop discipline as the 1D engine: partner operands at fixed
+offsets via input rolls, local partner-in-path validity, no gathers in
+the sweep body.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import numpy as np
+
+from ..graph import BidirectedGraph
+from ..index import PathIndex
+from ..io.layout_tsv import Layout
+from ..params import LayoutSGDParams
+from .fastpow import zeta_table
+from .schedule import eta_schedule
+from .sweep import offset_set
+
+__all__ = ["build_sweep_nd_runner", "path_linear_sgd_layout_sweep"]
+
+
+def build_sweep_nd_runner(
+    pidx: PathIndex,
+    params: LayoutSGDParams,
+    per_octave: int = 3,
+    consensus_every: int = 4,
+    active_frac: Optional[float] = None,
+):
+    import jax
+    import jax.numpy as jnp
+
+    dtype = {"float32": np.float32, "float64": np.float64}[params.dtype]
+    fdt = {np.float32: jnp.float32, np.float64: jnp.float64}[dtype]
+    S = pidx.total_steps
+    N = pidx.num_nodes
+    D = int(params.dimensions)
+
+    # layout jumps are rank-limited like 1D (space is already in steps
+    # for the layout params, src/sgd.rs:754)
+    max_jump = max(1, min(int(params.space), pidx.max_path_step_count - 1))
+    offs = offset_set(max_jump, per_octave)
+    K = len(offs)
+
+    pos = jnp.asarray(pidx.step_pos, dtype=fdt)
+    rank_arr = jnp.asarray(pidx.step_rank.astype(np.int32))
+    cnt_arr = jnp.asarray(pidx.step_count_of_step.astype(np.int32))
+    node_arr = jnp.asarray(pidx.step_node_idx.astype(np.int32))
+    rev_arr = jnp.asarray((pidx.step_handle & 1).astype(np.int32))
+    len_arr = jnp.asarray(pidx.node_len, dtype=np.float32)[
+        jnp.asarray(pidx.step_node_idx.astype(np.int32))
+    ].astype(fdt)  # node length per step (resident, no gather in loop)
+    offs_j = jnp.asarray(offs)
+
+    if active_frac is None:
+        active_frac = float(np.clip(N / max(S, 1), 1.0 / 16.0, 1.0))
+    updates_per_sweep = max(1, int(S * active_frac))
+
+    etas = eta_schedule(
+        1.0 / params.eta_max, 1.0, params.iter_max,
+        params.iter_with_max_learning_rate, params.eps,
+    )
+    spi = max(1, -(-params.min_term_updates // updates_per_sweep))
+    sweep_eta = np.repeat(etas, spi)
+    sweep_cool = np.repeat(
+        np.arange(params.iter_max + 1) > params.first_cooling_iteration, spi
+    )
+    n_sweeps = len(sweep_eta)
+    etas_j = jnp.asarray(sweep_eta, dtype=fdt)
+    cool_j = jnp.asarray(sweep_cool)
+
+    zetas = zeta_table(
+        params.space, params.space_max, params.space_quantization_step,
+        params.theta,
+    )
+    zetas_j = jnp.asarray(zetas, dtype=fdt)
+    space = int(params.space)
+    space_max = int(params.space_max)
+    quant = int(params.space_quantization_step)
+    theta0 = float(params.theta)
+
+    def zipf_z(u, jump_space, theta):
+        n = jnp.maximum(jump_space, 1).astype(fdt)
+        si = jnp.minimum(
+            jnp.where(
+                jump_space > space_max,
+                space_max + (jump_space - space_max) // quant + 1,
+                jump_space,
+            ),
+            len(zetas) - 1,
+        )
+        zeta = zetas_j[si]
+
+        def powf(a, b):
+            a = jnp.asarray(a, fdt)
+            return jnp.exp(b * jnp.log(jnp.maximum(a, 1e-30)))
+
+        zeta2theta = 1.0 + powf(0.5, theta)
+        alpha = 1.0 / (1.0 - theta)
+        eta_z = (1.0 - powf(2.0 / n, 1.0 - theta)) / (1.0 - zeta2theta / zeta)
+        uz = u * zeta
+        general = 1.0 + n * powf(eta_z * u - eta_z + 1.0, alpha)
+        general = jnp.where(jnp.isnan(general), 0.0, general)
+        g = jnp.clip(general, 0.0, n).astype(jnp.int32)
+        z = jnp.where(uz < 1.0, 1, jnp.where(uz < zeta2theta, 2, g))
+        return jnp.minimum(z, jump_space)
+
+    _dense = int((offs <= 8).sum())
+    _ratio_log = 1.0 / per_octave
+
+    def snap_to_offset(z):
+        z = jnp.maximum(z, 1)
+        lz = jnp.log2(z.astype(fdt)) - jnp.log2(fdt(_dense))
+        m = jnp.floor(lz / _ratio_log).astype(jnp.int32)
+        idx_log = _dense - 1 + jnp.maximum(m, 0) + 1
+        idx = jnp.where(z <= _dense, z.astype(jnp.int32) - 1,
+                        jnp.clip(idx_log, _dense - 1, K - 1))
+        too_big = offs_j[idx] > z
+        return jnp.where(too_big, jnp.maximum(idx - 1, 0), idx)
+
+    def sweep(cs, key, eta, cooling, pos, rank_a, cnt_a, rev_a, len_a):
+        """cs: [S, 2, D] per-step end coordinates."""
+        k1, k2 = jax.random.split(key, 2)
+        bits = jax.random.bits(k1, (S,), jnp.uint32)
+        coin1 = (bits >> 31) == 1
+        coin2 = ((bits >> 30) & 1) == 1
+        other_end_self = ((bits >> 29) & 1) == 1   # end coin for me
+        act = (
+            (bits & 0xFFFFF) < jnp.uint32(active_frac * (1 << 20))
+            if active_frac < 1.0
+            else jnp.ones((S,), bool)
+        )
+        use_zipf = cooling | coin1
+        backward = (rank_a > 0) & (coin2 | (rank_a == cnt_a - 1))
+        forward = (~backward) & (rank_a < cnt_a - 1)
+        avail = jnp.where(backward, rank_a, cnt_a - 1 - rank_a)
+        jump_space = jnp.minimum(space, avail)
+        u = jax.random.uniform(k2, (S,), dtype=fdt)
+        theta = jnp.where(cooling, 0.001, theta0)
+        z_zipf = zipf_z(u, jump_space, theta)
+        z_unif = 1 + (u * jnp.maximum(avail, 1).astype(fdt)).astype(jnp.int32)
+        z = jnp.where(use_zipf, z_zipf, z_unif)
+        oidx = snap_to_offset(z)
+        active = act & (forward | backward) & (cnt_a > 1)
+        mask_f = active & ~backward
+        mask_b = active & backward
+
+        # per-term end choice for EACH endpoint: the reference flips a
+        # coin per endpoint per term (rs:1060-1077).  Elementwise: my
+        # end coin is other_end_self; my bp position adjusts by my node
+        # length when I use my other end; end index = coin XOR rev.
+        my_pos = jnp.where(other_end_self, pos + len_a, pos)
+        my_end = jnp.where(other_end_self, 1 - rev_a, rev_a)
+        lane0 = (my_end == 0)[:, None]  # [S, 1]
+        # my coordinates at the chosen end: [S, D] (select, not gather)
+        my_c = jnp.where(lane0, cs[:, 0, :], cs[:, 1, :])
+
+        acc = jnp.zeros((S, D), cs.dtype)
+        wacc = jnp.zeros((S,), cs.dtype)
+        for ki in range(K):
+            k = int(offs[ki])
+            choose_f = mask_f & (oidx == ki)
+            choose_b = mask_b & (oidx == ki)
+
+            def half(shift, w_bool):
+                pos_o = jnp.roll(my_pos, shift)
+                c_o = jnp.roll(my_c, shift, axis=0)
+                pair_ok = (
+                    rank_a - shift < cnt_a if shift < 0 else rank_a >= shift
+                )
+                d = jnp.abs(my_pos - pos_o)
+                valid = pair_ok & (d != 0) & w_bool
+                w = valid.astype(cs.dtype)
+                safe = jnp.where(valid, d, 1.0)
+                mu = jnp.minimum(eta / safe, 1.0)
+                deltas = my_c - c_o                      # [S, D]
+                mag_sq = jnp.sum(deltas * deltas, axis=-1)
+                zero = mag_sq == 0
+                deltas = deltas.at[:, 0].set(
+                    jnp.where(zero, fdt(1e-9), deltas[:, 0])
+                )
+                mag_sq = jnp.where(zero, fdt(1e-18), mag_sq)
+                mag = jnp.sqrt(mag_sq)
+                r = jnp.minimum(mu * (mag - safe) / 2.0 / mag, 1e30)
+                upd = (w * r)[:, None] * deltas          # I receive -upd
+                return -upd, w
+
+            d1, w1 = half(-k, choose_f | jnp.roll(choose_b, -k))
+            d2, w2 = half(+k, choose_b | jnp.roll(choose_f, +k))
+            acc = acc + d1 + d2
+            wacc = wacc + w1 + w2
+        # the chosen end is fixed for the whole sweep: apply the mean
+        # update to that lane once (select, no scatter)
+        upd_mean = acc / jnp.maximum(wacc, 1)[:, None]
+        cs0 = cs[:, 0, :] + jnp.where(lane0, upd_mean, 0)
+        cs1 = cs[:, 1, :] + jnp.where(~lane0, upd_mean, 0)
+        return jnp.stack([cs0, cs1], axis=1)
+
+    def consensus(cs, node_a):
+        """Mean per (node, end) over steps; orientation maps a step's
+        storage lane to the node's physical end: physical = lane ^ rev.
+        cs is stored in PHYSICAL end order (lane = node end), so the
+        scatter key is just (node, lane)."""
+        ssum = jnp.zeros((N, 2, D), cs.dtype).at[node_a].add(cs)
+        scnt = jnp.zeros((N, 2), cs.dtype).at[node_a].add(
+            jnp.ones((S, 2), cs.dtype)
+        )
+        x_node = ssum / jnp.maximum(scnt, 1)[:, :, None]
+        return x_node[node_a], x_node
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def run(cs, key, pos, rank_a, cnt_a, rev_a, len_a, node_a):
+        def body(r, cs):
+            kk = jax.random.fold_in(key, r)
+            cs = sweep(cs, kk, etas_j[r], cool_j[r], pos, rank_a, cnt_a,
+                       rev_a, len_a)
+            do_cons = (r % consensus_every) == (consensus_every - 1)
+            cs = jax.lax.cond(
+                do_cons, lambda v: consensus(v, node_a)[0], lambda v: v, cs
+            )
+            return cs
+
+        cs = jax.lax.fori_loop(0, n_sweeps, body, cs)
+        _, x_node = consensus(cs, node_a)
+        return x_node
+
+    arrays = (pos, rank_arr, cnt_arr, rev_arr, len_arr, node_arr)
+
+    def make_state(init_node_coords: np.ndarray):
+        """init_node_coords: [2N, D] (node-end rows) -> [S, 2, D]."""
+        nc = np.asarray(init_node_coords, dtype=dtype).reshape(N, 2, D)
+        return jnp.asarray(nc[pidx.step_node_idx], dtype=fdt)
+
+    info = {
+        "n_sweeps": n_sweeps,
+        "updates_per_sweep": updates_per_sweep,
+        "active_frac": active_frac,
+        "n_offsets": K,
+    }
+    return run, arrays, make_state, info
+
+
+def path_linear_sgd_layout_sweep(
+    graph: Optional[BidirectedGraph],
+    params: LayoutSGDParams,
+    pidx: Optional[PathIndex] = None,
+    per_octave: int = 3,
+    consensus_every: int = 4,
+    active_frac: Optional[float] = None,
+    init_coords: Optional[np.ndarray] = None,
+) -> Layout:
+    import jax
+
+    pidx = pidx or PathIndex.from_graph(graph)
+    n = pidx.num_nodes
+    dims = params.dimensions
+    if n == 0:
+        return Layout(dims, 0)
+    if not pidx.has_multi_step_path():
+        return Layout(dims, n)
+
+    if init_coords is None:
+        from .exact import layout_initial_coords
+
+        init_coords = layout_initial_coords(pidx, dims, params.seed)
+
+    run, arrays, make_state, info = build_sweep_nd_runner(
+        pidx, params, per_octave, consensus_every, active_frac
+    )
+    cs0 = make_state(init_coords)
+    x_node = run(cs0, jax.random.key(params.seed), *arrays)
+    state = np.asarray(jax.device_get(x_node), dtype=np.float64).reshape(
+        2 * n, dims
+    )
+    return Layout.from_state(state)
