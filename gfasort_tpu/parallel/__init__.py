@@ -20,3 +20,7 @@ from .sgd_shard import (  # noqa: F401
     path_linear_sgd_sharded,
     path_sgd_sort_sharded,
 )
+from .sweep_shard import (  # noqa: F401
+    path_linear_sgd_sweep_sharded,
+    path_sgd_sort_sweep_sharded,
+)

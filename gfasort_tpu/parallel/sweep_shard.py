@@ -1,0 +1,305 @@
+"""Multi-device offset-sweep SGD: local sweeps + psum consensus.
+
+The sweep engine (:mod:`gfasort_tpu.ops.sweep`) decomposes perfectly
+over a mesh: with path-aligned contiguous shards no term pair ever
+crosses a shard boundary (both endpoints of a pair are in one path),
+so每 device sweeps its resident shard with ZERO communication; the only
+collective is the periodic node consensus, where per-shard (sum, count)
+accumulators over the replicated node space are ``psum``-merged — a
+[N]-sized all-reduce every ``consensus_every`` sweeps, riding ICI.
+
+This is the scaling story for BASELINE metric 4 (≥80% efficiency
+1 → N hosts): compute is embarrassingly parallel and the collective
+volume is independent of step count.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import numpy as np
+
+from ..graph import BidirectedGraph
+from ..index import PathIndex
+from ..params import PathSGDParams
+from ..ops.fastpow import zeta_table
+from ..ops.schedule import eta_schedule
+from ..ops.sweep import offset_set
+from .mesh import default_mesh, partition_paths
+
+__all__ = ["path_linear_sgd_sweep_sharded", "path_sgd_sort_sweep_sharded", "build_sharded_sweep"]
+
+
+def _shard_arrays(pidx: PathIndex, n_shards: int, dtype):
+    """Per-shard padded step arrays [D, L] in path-contiguous layout.
+    Pad slots: cnt=1 (never active), node=-1 (masked in consensus)."""
+    assignment = partition_paths(pidx.path_count.tolist(), n_shards)
+    sizes = [int(sum(pidx.path_count[p] for p in paths)) for paths in assignment]
+    L = max(max(sizes), 1)
+
+    pos = np.zeros((n_shards, L), dtype=dtype)
+    rank = np.zeros((n_shards, L), dtype=np.int32)
+    cnt = np.ones((n_shards, L), dtype=np.int32)
+    node = np.full((n_shards, L), -1, dtype=np.int32)
+
+    for d, paths in enumerate(assignment):
+        off = 0
+        for p in paths:
+            f = int(pidx.path_first[p])
+            c = int(pidx.path_count[p])
+            sl = slice(off, off + c)
+            pos[d, sl] = pidx.step_pos[f : f + c]
+            rank[d, sl] = pidx.step_rank[f : f + c]
+            cnt[d, sl] = c
+            node[d, sl] = pidx.step_node_idx[f : f + c]
+            off += c
+    return pos, rank, cnt, node, L
+
+
+def build_sharded_sweep(
+    pidx: PathIndex,
+    params: PathSGDParams,
+    mesh,
+    per_octave: int = 3,
+    consensus_every: int = 4,
+    active_frac: Optional[float] = None,
+):
+    """Returns (run, placed_arrays, make_state, info); run(xs_sh,
+    x_node0, key, *arrays) executes the full schedule under shard_map."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    (axis,) = mesh.axis_names
+    ndev = mesh.size
+
+    dtype = {"float32": np.float32, "float64": np.float64}[params.dtype]
+    fdt = {np.float32: jnp.float32, np.float64: jnp.float64}[dtype]
+    S = pidx.total_steps
+    N = pidx.num_nodes
+
+    pos_np, rank_np, cnt_np, node_np, L = _shard_arrays(pidx, ndev, dtype)
+
+    max_jump = max(1, min(int(params.space), pidx.max_path_step_count - 1))
+    offs = offset_set(max_jump, per_octave)
+    K = len(offs)
+    offs_j = jnp.asarray(offs)
+
+    if active_frac is None:
+        active_frac = float(np.clip(N / max(S, 1), 1.0 / 16.0, 1.0))
+    updates_per_sweep = max(1, int(S * active_frac))
+
+    etas = eta_schedule(
+        1.0 / params.eta_max, 1.0, params.iter_max,
+        params.iter_with_max_learning_rate, params.eps,
+    )
+    spi = max(1, -(-params.min_term_updates // updates_per_sweep))
+    sweep_eta = np.repeat(etas, spi)
+    sweep_cool = np.repeat(
+        np.arange(params.iter_max + 1) > params.first_cooling_iteration, spi
+    )
+    n_sweeps = len(sweep_eta)
+    etas_j = jnp.asarray(sweep_eta, dtype=fdt)
+    cool_j = jnp.asarray(sweep_cool)
+
+    zetas = zeta_table(
+        params.space, params.space_max, params.space_quantization_step,
+        params.theta,
+    )
+    zetas_j = jnp.asarray(zetas, dtype=fdt)
+    space = int(params.space)
+    space_max = int(params.space_max)
+    quant = int(params.space_quantization_step)
+    theta0 = float(params.theta)
+    _dense = int((offs <= 8).sum())
+    _ratio_log = 1.0 / per_octave
+
+    def zipf_z(u, jump_space, theta):
+        n = jnp.maximum(jump_space, 1).astype(fdt)
+        si = jnp.minimum(
+            jnp.where(
+                jump_space > space_max,
+                space_max + (jump_space - space_max) // quant + 1,
+                jump_space,
+            ),
+            len(zetas) - 1,
+        )
+        zeta = zetas_j[si]
+
+        def powf(a, b):
+            a = jnp.asarray(a, fdt)
+            return jnp.exp(b * jnp.log(jnp.maximum(a, 1e-30)))
+
+        zeta2theta = 1.0 + powf(0.5, theta)
+        alpha = 1.0 / (1.0 - theta)
+        eta_z = (1.0 - powf(2.0 / n, 1.0 - theta)) / (1.0 - zeta2theta / zeta)
+        uz = u * zeta
+        general = 1.0 + n * powf(eta_z * u - eta_z + 1.0, alpha)
+        general = jnp.where(jnp.isnan(general), 0.0, general)
+        g = jnp.clip(general, 0.0, n).astype(jnp.int32)
+        z = jnp.where(uz < 1.0, 1, jnp.where(uz < zeta2theta, 2, g))
+        return jnp.minimum(z, jump_space)
+
+    def snap_to_offset(z):
+        z = jnp.maximum(z, 1)
+        lz = jnp.log2(z.astype(fdt)) - jnp.log2(fdt(_dense))
+        m = jnp.floor(lz / _ratio_log).astype(jnp.int32)
+        idx_log = _dense - 1 + jnp.maximum(m, 0) + 1
+        idx = jnp.where(z <= _dense, z.astype(jnp.int32) - 1,
+                        jnp.clip(idx_log, _dense - 1, K - 1))
+        too_big = offs_j[idx] > z
+        return jnp.where(too_big, jnp.maximum(idx - 1, 0), idx)
+
+    def local_sweep(xs, key, eta, cooling, pos, rank_a, cnt_a):
+        bits = jax.random.bits(key, (L,), jnp.uint32)
+        coin1 = (bits >> 31) == 1
+        coin2 = ((bits >> 30) & 1) == 1
+        act = (
+            (bits & 0xFFFFF) < jnp.uint32(active_frac * (1 << 20))
+            if active_frac < 1.0
+            else jnp.ones((L,), bool)
+        )
+        k2 = jax.random.fold_in(key, 1)
+        use_zipf = cooling | coin1
+        backward = (rank_a > 0) & (coin2 | (rank_a == cnt_a - 1))
+        forward = (~backward) & (rank_a < cnt_a - 1)
+        avail = jnp.where(backward, rank_a, cnt_a - 1 - rank_a)
+        jump_space = jnp.minimum(space, avail)
+        u = jax.random.uniform(k2, (L,), dtype=fdt)
+        theta = jnp.where(cooling, 0.001, theta0)
+        z_zipf = zipf_z(u, jump_space, theta)
+        z_unif = 1 + (u * jnp.maximum(avail, 1).astype(fdt)).astype(jnp.int32)
+        z = jnp.where(use_zipf, z_zipf, z_unif)
+        oidx = snap_to_offset(z)
+        active = act & (forward | backward) & (cnt_a > 1)
+        mask_f = active & ~backward
+        mask_b = active & backward
+
+        dsum = jnp.zeros_like(xs)
+        csum = jnp.zeros_like(xs)
+        for ki in range(K):
+            k = int(offs[ki])
+            choose_f = mask_f & (oidx == ki)
+            choose_b = mask_b & (oidx == ki)
+
+            def half(shift, w_bool):
+                pos_o = jnp.roll(pos, shift)
+                xs_o = jnp.roll(xs, shift)
+                pair_ok = (
+                    rank_a - shift < cnt_a if shift < 0 else rank_a >= shift
+                )
+                d = jnp.abs(pos - pos_o)
+                valid = pair_ok & (d != 0) & w_bool
+                w = valid.astype(xs.dtype)
+                safe = jnp.where(valid, d, 1.0)
+                mu = jnp.minimum(eta / safe, 1.0)
+                dx = xs - xs_o
+                dx = jnp.where(dx == 0, fdt(1e-9), dx)
+                mag = jnp.abs(dx)
+                r_x = (mu * (mag - safe) / 2.0 / mag) * dx
+                return -w * r_x, w
+
+            d1, w1 = half(-k, choose_f | jnp.roll(choose_b, -k))
+            d2, w2 = half(+k, choose_b | jnp.roll(choose_f, +k))
+            dsum = dsum + d1 + d2
+            csum = csum + w1 + w2
+        return xs + dsum / jnp.maximum(csum, 1)
+
+    def consensus(xs, node_a, w_a):
+        """psum-merged scatter-mean over the replicated node space."""
+        idx = jnp.maximum(node_a, 0)
+        ssum = jnp.zeros(N, xs.dtype).at[idx].add(xs * w_a)
+        scnt = jnp.zeros(N, xs.dtype).at[idx].add(w_a)
+        ssum = jax.lax.psum(ssum, axis)
+        scnt = jax.lax.psum(scnt, axis)
+        x_node = ssum / jnp.maximum(scnt, 1)
+        return jnp.where(w_a > 0, x_node[idx], xs), x_node, scnt
+
+    def device_run(xs, x_node_init, base_key, pos, rank_a, cnt_a, node_a):
+        xs, pos, rank_a, cnt_a, node_a = (
+            xs[0], pos[0], rank_a[0], cnt_a[0], node_a[0]
+        )
+        w_a = (node_a >= 0).astype(xs.dtype)
+        dev = jax.lax.axis_index(axis)
+        base = jax.random.fold_in(base_key, dev)
+
+        def body(r, xs):
+            key = jax.random.fold_in(base, r)
+            xs = local_sweep(xs, key, etas_j[r], cool_j[r], pos, rank_a, cnt_a)
+            do_cons = (r % consensus_every) == (consensus_every - 1)
+            xs = jax.lax.cond(
+                do_cons, lambda v: consensus(v, node_a, w_a)[0], lambda v: v, xs
+            )
+            return xs
+
+        xs = jax.lax.fori_loop(0, n_sweeps, body, xs)
+        _, x_node, scnt = consensus(xs, node_a, w_a)
+        return jnp.where(scnt > 0, x_node, x_node_init)
+
+    shard = NamedSharding(mesh, P(axis))
+    repl = NamedSharding(mesh, P())
+
+    run = jax.jit(
+        shard_map(
+            device_run,
+            mesh=mesh,
+            in_specs=(P(axis), P(), P(), P(axis), P(axis), P(axis), P(axis)),
+            out_specs=P(),
+        ),
+        donate_argnums=(0,),
+    )
+
+    arrays = tuple(
+        jax.device_put(jnp.asarray(a), shard)
+        for a in (pos_np, rank_np, cnt_np, node_np)
+    )
+
+    def make_state(x0=None):
+        x_node0 = np.asarray(
+            x0 if x0 is not None else pidx.initial_positions(), dtype=dtype
+        )
+        xs0 = np.zeros((ndev, L), dtype=dtype)
+        live = node_np >= 0
+        xs0[live] = x_node0[node_np[live]]
+        return (
+            jax.device_put(jnp.asarray(xs0), shard),
+            jax.device_put(jnp.asarray(x_node0), repl),
+        )
+
+    info = {"n_sweeps": n_sweeps, "updates_per_sweep": updates_per_sweep,
+            "active_frac": active_frac, "n_offsets": K, "shard_len": L}
+    return run, arrays, make_state, info
+
+
+def path_linear_sgd_sweep_sharded(
+    graph: Optional[BidirectedGraph],
+    params: PathSGDParams,
+    mesh=None,
+    pidx: Optional[PathIndex] = None,
+    **kw,
+) -> Optional[np.ndarray]:
+    import jax
+
+    pidx = pidx or PathIndex.from_graph(graph)
+    if pidx.num_nodes == 0:
+        return np.zeros(0)
+    if not pidx.has_multi_step_path():
+        return None
+    mesh = mesh or default_mesh()
+    run, arrays, make_state, info = build_sharded_sweep(pidx, params, mesh, **kw)
+    xs0, x_node0 = make_state()
+    out = run(xs0, x_node0, jax.random.key(params.seed), *arrays)
+    return np.asarray(jax.device_get(out), dtype=np.float64)
+
+
+def path_sgd_sort_sweep_sharded(graph, params, mesh=None, **kw):
+    from .. import handle as H
+
+    pidx = PathIndex.from_graph(graph)
+    x = path_linear_sgd_sweep_sharded(graph, params, mesh, pidx, **kw)
+    if x is None or len(x) == 0:
+        return []
+    order = np.argsort(x, kind="stable")
+    return [H.forward(int(pidx.node_ids[idx])) for idx in order]

@@ -75,3 +75,28 @@ def test_graft_entry_fn_compiles():
     out = jax.jit(fn)(*args)
     assert out.shape == args[0].shape
     assert np.isfinite(np.asarray(out)).all()
+
+
+@pytest.mark.parametrize("ndev", [1, 4, 8])
+def test_sharded_sweep_quality(lil_gfa, ndev):
+    from gfasort_tpu.ops.exact import path_sgd_sort_exact
+    from gfasort_tpu.parallel import path_sgd_sort_sweep_sharded
+
+    g = gfa.parse_gfa_numeric(lil_gfa)
+    p = replace(YgsParams.from_graph(g).path_sgd, dtype="float32",
+                pow_mode="fast")
+    o = path_sgd_sort_sweep_sharded(g, p, default_mesh(ndev))
+    oe = path_sgd_sort_exact(g, replace(p, dtype="float64", pow_mode="fpp"))
+    assert sorted(h >> 1 for h in o) == sorted(h >> 1 for h in oe)
+    re = {h >> 1: i for i, h in enumerate(oe)}
+    assert all(abs(i - re[h >> 1]) <= 2 for i, h in enumerate(o))
+
+
+def test_sharded_sweep_deterministic(lil_gfa):
+    from gfasort_tpu.parallel import path_sgd_sort_sweep_sharded
+
+    g = gfa.parse_gfa_numeric(lil_gfa)
+    p = replace(YgsParams.from_graph(g).path_sgd, dtype="float32",
+                pow_mode="fast")
+    m = default_mesh(4)
+    assert path_sgd_sort_sweep_sharded(g, p, m) == path_sgd_sort_sweep_sharded(g, p, m)
