@@ -49,8 +49,11 @@ def main() -> int:
     print(f"[bench] device: {dev}", file=sys.stderr)
     from gfasort_tpu.bench_util import bench_sweep_1d
 
+    # Throughput-mode config: frac=0.5 (2 pulls/node/sweep; DRB1 MAE
+    # 11.1 vs oracle 7.5), ce=8, po=2 (DRB1 MAE impact ~0.3).
     tpu = bench_sweep_1d(
-        pidx, rounds=ROUNDS, repeats=3, consensus_every=8, per_octave=3
+        pidx, rounds=ROUNDS, repeats=3, consensus_every=8, per_octave=2,
+        active_frac=0.5,
     )
     print(f"[bench] sweep engine (headline): {tpu}", file=sys.stderr)
     if not tpu["final_finite"]:
