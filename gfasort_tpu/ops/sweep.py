@@ -129,95 +129,24 @@ def build_sweep_runner(
         params.space, params.space_max, params.space_quantization_step,
         params.theta,
     )
-    zetas_j = jnp.asarray(zetas, dtype=fdt)
     space = int(params.space)
     space_max = int(params.space_max)
     quant = int(params.space_quantization_step)
     theta0 = float(params.theta)
 
-    def zipf_z(u, jump_space, theta):
-        """Vectorized DirtyZipfian (fast pow mode — this engine is the
-        throughput path; bit-parity sampling lives in the oracle)."""
-        n = jnp.maximum(jump_space, 1).astype(fdt)
-        si = jnp.minimum(
-            jnp.where(
-                jump_space > space_max,
-                space_max + (jump_space - space_max) // quant + 1,
-                jump_space,
-            ),
-            len(zetas) - 1,
-        )
-        zeta = zetas_j[si]
+    from .sweep_common import make_offset_sampler
 
-        def powf(a, b):
-            a = jnp.asarray(a, fdt)
-            return jnp.exp(b * jnp.log(jnp.maximum(a, 1e-30)))
-
-        zeta2theta = 1.0 + powf(0.5, theta)
-        alpha = 1.0 / (1.0 - theta)
-        eta_z = (1.0 - powf(2.0 / n, 1.0 - theta)) / (1.0 - zeta2theta / zeta)
-        uz = u * zeta
-        general = 1.0 + n * powf(eta_z * u - eta_z + 1.0, alpha)
-        general = jnp.where(jnp.isnan(general), 0.0, general)
-        g = jnp.clip(general, 0.0, n).astype(jnp.int32)
-        z = jnp.where(uz < 1.0, 1, jnp.where(uz < zeta2theta, 2, g))
-        return jnp.minimum(z, jump_space)
-
-    # For the arithmetic snap: offsets are exactly {1..dense} then
-    # round(dense * r^m); invert with a log2 and fix the off-by-one from
-    # rounding by comparing against the actual table value.
-    _dense = int((offs <= 8).sum())
-    _ratio_log = 1.0 / per_octave
-
-    def snap_to_offset(z):
-        """Index of the largest offset <= z (snap down, so the snapped
-        jump never exceeds the sampled one and stays within the
-        available rank range).  Arithmetic (no searchsorted): offsets
-        are 1..dense then log-spaced with `per_octave` per factor 2."""
-        z = jnp.maximum(z, 1)
-        lz = jnp.log2(z.astype(fdt)) - jnp.log2(fdt(_dense))
-        m = jnp.floor(lz / _ratio_log).astype(jnp.int32)
-        idx_log = _dense - 1 + jnp.maximum(m, 0) + 1
-        idx = jnp.where(z <= _dense, z.astype(jnp.int32) - 1,
-                        jnp.clip(idx_log, _dense - 1, K - 1))
-        # rounding guard: ensure offs[idx] <= z (one step down if not)
-        too_big = offs_j[idx] > z
-        idx = jnp.where(too_big, jnp.maximum(idx - 1, 0), idx)
-        return idx
+    _snap, _zipf, sample_block = make_offset_sampler(offs, params, zetas, fdt)
 
     def sweep(xs, key, eta, cooling, pos, rank_arr, cnt_arr):
         """One sweep: each step proposes one signed offset bucket; for
         every bucket, apply the masked pair update via rolls."""
         k1, k2 = jax.random.split(key, 2)
-        # one 32-bit draw supplies all three coins (top bits)
         bits = jax.random.bits(k1, (S,), jnp.uint32)
-        coin1 = (bits >> 31) == 1
-        coin2 = ((bits >> 30) & 1) == 1
-        act = (
-            (bits & 0xFFFFF) < jnp.uint32(active_frac * (1 << 20))
-            if active_frac < 1.0
-            else jnp.ones((S,), bool)
-        )
-        use_zipf = cooling | coin1
-        backward = (rank_arr > 0) & (coin2 | (rank_arr == cnt_arr - 1))
-        forward = (~backward) & (rank_arr < cnt_arr - 1)
-        avail = jnp.where(backward, rank_arr, cnt_arr - 1 - rank_arr)
-        jump_space = jnp.minimum(space, avail)
         u = jax.random.uniform(k2, (S,), dtype=fdt)
-        theta = jnp.where(cooling, 0.001, theta0)
-        z_zipf = zipf_z(u, jump_space, theta)
-        # uniform branch: |rank_b - rank_a| for uniform rank_b mapped to
-        # a jump length (approximation: uniform over available ranks;
-        # multiply-based, reusing u)
-        z_unif = 1 + (u * jnp.maximum(avail, 1).astype(fdt)).astype(jnp.int32)
-        z = jnp.where(use_zipf, z_zipf, z_unif)
-        oidx = snap_to_offset(z)
-        sign_back = backward  # True: partner at s - k ... but the
-        # actual memory offset is rank-based; partner step = s ± k
-        active = act & (forward | backward) & (cnt_arr > 1)
-
-        mask_f = active & ~sign_back  # chose partner s + k
-        mask_b = active & sign_back   # chose partner s - k
+        oidx, mask_f, mask_b = sample_block(
+            bits, u, cooling, rank_arr, cnt_arr, active_frac
+        )
 
         # IMPORTANT: every roll below applies to an INPUT array only.
         # Rolling a computed value (e.g. the update itself) breaks XLA
@@ -278,16 +207,27 @@ def build_sweep_runner(
     # (K rolled copies of each array => multi-GB programs).
     @partial(jax.jit, donate_argnums=(0,))
     def run(xs, x_node_init, base_key, pos, rank_a, cnt_a, node_a):
-        def body(r, xs):
-            key = jax.random.fold_in(base_key, r)
-            xs = sweep(xs, key, etas_j[r], cool_j[r], pos, rank_a, cnt_a)
-            do_cons = (r % consensus_every) == (consensus_every - 1)
-            xs = jax.lax.cond(
-                do_cons, lambda v: consensus(v, node_a)[0], lambda v: v, xs
-            )
-            return xs
+        # Nested loops, NOT lax.cond: a conditional inside the loop
+        # forces per-iteration copies of every captured operand
+        # (profiled at ~26 ms per s32[S]/pred[S] array per sweep);
+        # running `consensus_every` sweeps per outer step and doing the
+        # consensus unconditionally removes them.  The sweep count is
+        # rounded up to a full period (extra sweeps reuse the final
+        # eta — a few bonus updates at the terminal learning rate).
+        n_periods = -(-n_sweeps // consensus_every)
 
-        xs = jax.lax.fori_loop(0, n_sweeps, body, xs)
+        def inner(rr, carry):
+            p_idx, xs = carry
+            r = jnp.minimum(p_idx * consensus_every + rr, n_sweeps - 1)
+            key = jax.random.fold_in(base_key, p_idx * consensus_every + rr)
+            xs = sweep(xs, key, etas_j[r], cool_j[r], pos, rank_a, cnt_a)
+            return (p_idx, xs)
+
+        def outer(p_idx, xs):
+            _, xs = jax.lax.fori_loop(0, consensus_every, inner, (p_idx, xs))
+            return consensus(xs, node_a)[0]
+
+        xs = jax.lax.fori_loop(0, n_periods, outer, xs)
         _, x_node = consensus(xs, node_a)
         # nodes with no path steps keep their initial positions
         # (reference: untouched x entries, src/sgd.rs:264-294)

@@ -1,0 +1,144 @@
+"""Shared machinery for the offset-sweep engines (1D, nD, sharded).
+
+Provides the quantized-jump sampling kernel used by all sweep variants:
+
+* arithmetic snap-to-offset (no searchsorted, no table gathers),
+* bucketed DirtyZipfian with per-bucket zeta/eta constants selected via
+  a log-depth where-tree (a per-element zeta-table lookup is a hidden
+  [S]-sized gather, profiled at ~26 ms/sweep on 4M steps),
+* the common per-sweep sampling block (coins from packed bits, jump
+  draw, direction masks).
+
+Hard-won TPU rules encoded here (see repo log):
+  1. never roll a computed value — recompute from the receiver's side;
+  2. pass big arrays as jit arguments, not closures;
+  3. no lax.cond inside the round loop — it copies captured operands
+     every iteration;
+  4. no table gathers in the hot loop — bucket + where-tree.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .fastpow import fast_precise_pow as _fpp_host
+
+__all__ = ["make_offset_sampler"]
+
+
+def make_offset_sampler(offs: np.ndarray, params, zetas: np.ndarray, fdt):
+    """Build (snap_to_offset, zipf_z, sample_block) for a static offset
+    set.  ``sample_block(bits, u, cooling, rank_a, cnt_a, active_frac)``
+    returns (oidx, mask_f, mask_b) — everything the offset loop needs.
+    """
+    import jax.numpy as jnp
+
+    K = len(offs)
+    offs = np.asarray(offs)
+    space = int(params.space)
+    space_max = int(params.space_max)
+    quant = int(params.space_quantization_step)
+    theta0 = float(params.theta)
+    _dense = int((offs <= 8).sum())
+    # per_octave is implicit in offs; recover the log spacing directly
+    if K > _dense:
+        _log_step = (np.log2(offs[-1]) - np.log2(_dense)) / (K - _dense)
+    else:
+        _log_step = 1.0
+
+    def off_of(i):
+        """offs[i] via where-tree (no gather)."""
+
+        def build(lo, hi):
+            if hi - lo == 1:
+                return jnp.int32(int(offs[lo]))
+            mid = (lo + hi) // 2
+            return jnp.where(i < mid, build(lo, mid), build(mid, hi))
+
+        return build(0, K)
+
+    def snap_to_offset(z):
+        """Index of the largest offset <= z (arithmetic, gather-free)."""
+        z = jnp.maximum(z, 1)
+        lz = jnp.log2(z.astype(fdt)) - np.float32(np.log2(max(_dense, 1)))
+        m = jnp.floor(lz / fdt(_log_step)).astype(jnp.int32)
+        idx_log = _dense - 1 + jnp.maximum(m, 0) + 1
+        idx = jnp.where(z <= _dense, z.astype(jnp.int32) - 1,
+                        jnp.clip(idx_log, _dense - 1, K - 1))
+        too_big = off_of(idx) > z
+        idx = jnp.where(too_big, jnp.maximum(idx - 1, 0), idx)
+        # the arithmetic index can land one bucket low; nudge up when
+        # the NEXT offset still fits
+        nxt = jnp.minimum(idx + 1, K - 1)
+        fits = off_of(nxt) <= z
+        return jnp.where(fits & (nxt > idx), nxt, idx)
+
+    def _bucket_consts(theta):
+        zeta_k = np.empty(K)
+        etaz_k = np.empty(K)
+        z2t = 1.0 + _fpp_host(0.5, theta)
+        for kidx, n in enumerate(offs.tolist()):
+            si = int(min(
+                n if n <= space_max else space_max + (n - space_max) // quant + 1,
+                len(zetas) - 1,
+            ))
+            zv = zetas[si] if zetas[si] > 0 else 1.0
+            zeta_k[kidx] = zv
+            etaz_k[kidx] = (1.0 - _fpp_host(2.0 / n, 1.0 - theta)) / (
+                1.0 - z2t / zv
+            )
+        return zeta_k, etaz_k, z2t
+
+    _zw, _ew, _z2tw = _bucket_consts(theta0)
+    _zc, _ec, _z2tc = _bucket_consts(0.001)
+
+    def const_tree(idx, warm_vals, cool_vals, cooling):
+        def pick(k):
+            return jnp.where(cooling, fdt(cool_vals[k]), fdt(warm_vals[k]))
+
+        def build(lo, hi):
+            if hi - lo == 1:
+                return pick(lo)
+            mid = (lo + hi) // 2
+            return jnp.where(idx < mid, build(lo, mid), build(mid, hi))
+
+        return build(0, K)
+
+    def zipf_z(u, jump_space, cooling):
+        n = jnp.maximum(jump_space, 1).astype(fdt)
+        js_idx = snap_to_offset(jnp.maximum(jump_space, 1))
+        zeta = const_tree(js_idx, _zw, _zc, cooling)
+        eta_z = const_tree(js_idx, _ew, _ec, cooling)
+        zeta2theta = jnp.where(cooling, fdt(_z2tc), fdt(_z2tw))
+        theta = jnp.where(cooling, fdt(0.001), fdt(theta0))
+        alpha = 1.0 / (1.0 - theta)
+        uz = u * zeta
+        arg = jnp.maximum(eta_z * u - eta_z + 1.0, 1e-30)
+        general = 1.0 + n * jnp.exp(alpha * jnp.log(arg))
+        general = jnp.where(jnp.isnan(general), 0.0, general)
+        g = jnp.clip(general, 0.0, n).astype(jnp.int32)
+        z = jnp.where(uz < 1.0, 1, jnp.where(uz < zeta2theta, 2, g))
+        return jnp.minimum(z, jump_space)
+
+    def sample_block(bits, u, cooling, rank_a, cnt_a, active_frac):
+        """(oidx, mask_f, mask_b) for one sweep."""
+        coin1 = (bits >> 31) == 1
+        coin2 = ((bits >> 30) & 1) == 1
+        act = (
+            (bits & 0xFFFFF) < jnp.uint32(active_frac * (1 << 20))
+            if active_frac < 1.0
+            else (bits | 1) > 0
+        )
+        use_zipf = cooling | coin1
+        backward = (rank_a > 0) & (coin2 | (rank_a == cnt_a - 1))
+        forward = (~backward) & (rank_a < cnt_a - 1)
+        avail = jnp.where(backward, rank_a, cnt_a - 1 - rank_a)
+        jump_space = jnp.minimum(space, avail)
+        z_zipf = zipf_z(u, jump_space, cooling)
+        z_unif = 1 + (u * jnp.maximum(avail, 1).astype(fdt)).astype(jnp.int32)
+        z = jnp.where(use_zipf, z_zipf, z_unif)
+        oidx = snap_to_offset(z)
+        active = act & (forward | backward) & (cnt_a > 1)
+        return oidx, active & ~backward, active & backward
+
+    return snap_to_offset, zipf_z, sample_block

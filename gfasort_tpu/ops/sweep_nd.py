@@ -84,77 +84,24 @@ def build_sweep_nd_runner(
         params.space, params.space_max, params.space_quantization_step,
         params.theta,
     )
-    zetas_j = jnp.asarray(zetas, dtype=fdt)
     space = int(params.space)
     space_max = int(params.space_max)
     quant = int(params.space_quantization_step)
     theta0 = float(params.theta)
 
-    def zipf_z(u, jump_space, theta):
-        n = jnp.maximum(jump_space, 1).astype(fdt)
-        si = jnp.minimum(
-            jnp.where(
-                jump_space > space_max,
-                space_max + (jump_space - space_max) // quant + 1,
-                jump_space,
-            ),
-            len(zetas) - 1,
-        )
-        zeta = zetas_j[si]
+    from .sweep_common import make_offset_sampler
 
-        def powf(a, b):
-            a = jnp.asarray(a, fdt)
-            return jnp.exp(b * jnp.log(jnp.maximum(a, 1e-30)))
-
-        zeta2theta = 1.0 + powf(0.5, theta)
-        alpha = 1.0 / (1.0 - theta)
-        eta_z = (1.0 - powf(2.0 / n, 1.0 - theta)) / (1.0 - zeta2theta / zeta)
-        uz = u * zeta
-        general = 1.0 + n * powf(eta_z * u - eta_z + 1.0, alpha)
-        general = jnp.where(jnp.isnan(general), 0.0, general)
-        g = jnp.clip(general, 0.0, n).astype(jnp.int32)
-        z = jnp.where(uz < 1.0, 1, jnp.where(uz < zeta2theta, 2, g))
-        return jnp.minimum(z, jump_space)
-
-    _dense = int((offs <= 8).sum())
-    _ratio_log = 1.0 / per_octave
-
-    def snap_to_offset(z):
-        z = jnp.maximum(z, 1)
-        lz = jnp.log2(z.astype(fdt)) - jnp.log2(fdt(_dense))
-        m = jnp.floor(lz / _ratio_log).astype(jnp.int32)
-        idx_log = _dense - 1 + jnp.maximum(m, 0) + 1
-        idx = jnp.where(z <= _dense, z.astype(jnp.int32) - 1,
-                        jnp.clip(idx_log, _dense - 1, K - 1))
-        too_big = offs_j[idx] > z
-        return jnp.where(too_big, jnp.maximum(idx - 1, 0), idx)
+    _snap, _zipf, sample_block = make_offset_sampler(offs, params, zetas, fdt)
 
     def sweep(cs, key, eta, cooling, pos, rank_a, cnt_a, rev_a, len_a):
         """cs: [S, 2, D] per-step end coordinates."""
         k1, k2 = jax.random.split(key, 2)
         bits = jax.random.bits(k1, (S,), jnp.uint32)
-        coin1 = (bits >> 31) == 1
-        coin2 = ((bits >> 30) & 1) == 1
         other_end_self = ((bits >> 29) & 1) == 1   # end coin for me
-        act = (
-            (bits & 0xFFFFF) < jnp.uint32(active_frac * (1 << 20))
-            if active_frac < 1.0
-            else jnp.ones((S,), bool)
-        )
-        use_zipf = cooling | coin1
-        backward = (rank_a > 0) & (coin2 | (rank_a == cnt_a - 1))
-        forward = (~backward) & (rank_a < cnt_a - 1)
-        avail = jnp.where(backward, rank_a, cnt_a - 1 - rank_a)
-        jump_space = jnp.minimum(space, avail)
         u = jax.random.uniform(k2, (S,), dtype=fdt)
-        theta = jnp.where(cooling, 0.001, theta0)
-        z_zipf = zipf_z(u, jump_space, theta)
-        z_unif = 1 + (u * jnp.maximum(avail, 1).astype(fdt)).astype(jnp.int32)
-        z = jnp.where(use_zipf, z_zipf, z_unif)
-        oidx = snap_to_offset(z)
-        active = act & (forward | backward) & (cnt_a > 1)
-        mask_f = active & ~backward
-        mask_b = active & backward
+        oidx, mask_f, mask_b = sample_block(
+            bits, u, cooling, rank_a, cnt_a, active_frac
+        )
 
         # per-term end choice for EACH endpoint: the reference flips a
         # coin per endpoint per term (rs:1060-1077).  Elementwise: my
@@ -221,17 +168,22 @@ def build_sweep_nd_runner(
 
     @partial(jax.jit, donate_argnums=(0,))
     def run(cs, key, pos, rank_a, cnt_a, rev_a, len_a, node_a):
-        def body(r, cs):
-            kk = jax.random.fold_in(key, r)
+        # nested loops, not lax.cond (see ops/sweep_common.py rules)
+        n_periods = -(-n_sweeps // consensus_every)
+
+        def inner(rr, carry):
+            p_idx, cs = carry
+            r = jnp.minimum(p_idx * consensus_every + rr, n_sweeps - 1)
+            kk = jax.random.fold_in(key, p_idx * consensus_every + rr)
             cs = sweep(cs, kk, etas_j[r], cool_j[r], pos, rank_a, cnt_a,
                        rev_a, len_a)
-            do_cons = (r % consensus_every) == (consensus_every - 1)
-            cs = jax.lax.cond(
-                do_cons, lambda v: consensus(v, node_a)[0], lambda v: v, cs
-            )
-            return cs
+            return (p_idx, cs)
 
-        cs = jax.lax.fori_loop(0, n_sweeps, body, cs)
+        def outer(p_idx, cs):
+            _, cs = jax.lax.fori_loop(0, consensus_every, inner, (p_idx, cs))
+            return consensus(cs, node_a)[0]
+
+        cs = jax.lax.fori_loop(0, n_periods, outer, cs)
         _, x_node = consensus(cs, node_a)
         return x_node
 

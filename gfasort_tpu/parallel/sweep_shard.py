@@ -108,7 +108,6 @@ def build_sharded_sweep(
         params.space, params.space_max, params.space_quantization_step,
         params.theta,
     )
-    zetas_j = jnp.asarray(zetas, dtype=fdt)
     space = int(params.space)
     space_max = int(params.space_max)
     quant = int(params.space_quantization_step)
@@ -116,66 +115,16 @@ def build_sharded_sweep(
     _dense = int((offs <= 8).sum())
     _ratio_log = 1.0 / per_octave
 
-    def zipf_z(u, jump_space, theta):
-        n = jnp.maximum(jump_space, 1).astype(fdt)
-        si = jnp.minimum(
-            jnp.where(
-                jump_space > space_max,
-                space_max + (jump_space - space_max) // quant + 1,
-                jump_space,
-            ),
-            len(zetas) - 1,
-        )
-        zeta = zetas_j[si]
+    from ..ops.sweep_common import make_offset_sampler
 
-        def powf(a, b):
-            a = jnp.asarray(a, fdt)
-            return jnp.exp(b * jnp.log(jnp.maximum(a, 1e-30)))
-
-        zeta2theta = 1.0 + powf(0.5, theta)
-        alpha = 1.0 / (1.0 - theta)
-        eta_z = (1.0 - powf(2.0 / n, 1.0 - theta)) / (1.0 - zeta2theta / zeta)
-        uz = u * zeta
-        general = 1.0 + n * powf(eta_z * u - eta_z + 1.0, alpha)
-        general = jnp.where(jnp.isnan(general), 0.0, general)
-        g = jnp.clip(general, 0.0, n).astype(jnp.int32)
-        z = jnp.where(uz < 1.0, 1, jnp.where(uz < zeta2theta, 2, g))
-        return jnp.minimum(z, jump_space)
-
-    def snap_to_offset(z):
-        z = jnp.maximum(z, 1)
-        lz = jnp.log2(z.astype(fdt)) - jnp.log2(fdt(_dense))
-        m = jnp.floor(lz / _ratio_log).astype(jnp.int32)
-        idx_log = _dense - 1 + jnp.maximum(m, 0) + 1
-        idx = jnp.where(z <= _dense, z.astype(jnp.int32) - 1,
-                        jnp.clip(idx_log, _dense - 1, K - 1))
-        too_big = offs_j[idx] > z
-        return jnp.where(too_big, jnp.maximum(idx - 1, 0), idx)
+    _snap, _zipf, sample_block = make_offset_sampler(offs, params, zetas, fdt)
 
     def local_sweep(xs, key, eta, cooling, pos, rank_a, cnt_a):
         bits = jax.random.bits(key, (L,), jnp.uint32)
-        coin1 = (bits >> 31) == 1
-        coin2 = ((bits >> 30) & 1) == 1
-        act = (
-            (bits & 0xFFFFF) < jnp.uint32(active_frac * (1 << 20))
-            if active_frac < 1.0
-            else jnp.ones((L,), bool)
+        u = jax.random.uniform(jax.random.fold_in(key, 1), (L,), dtype=fdt)
+        oidx, mask_f, mask_b = sample_block(
+            bits, u, cooling, rank_a, cnt_a, active_frac
         )
-        k2 = jax.random.fold_in(key, 1)
-        use_zipf = cooling | coin1
-        backward = (rank_a > 0) & (coin2 | (rank_a == cnt_a - 1))
-        forward = (~backward) & (rank_a < cnt_a - 1)
-        avail = jnp.where(backward, rank_a, cnt_a - 1 - rank_a)
-        jump_space = jnp.minimum(space, avail)
-        u = jax.random.uniform(k2, (L,), dtype=fdt)
-        theta = jnp.where(cooling, 0.001, theta0)
-        z_zipf = zipf_z(u, jump_space, theta)
-        z_unif = 1 + (u * jnp.maximum(avail, 1).astype(fdt)).astype(jnp.int32)
-        z = jnp.where(use_zipf, z_zipf, z_unif)
-        oidx = snap_to_offset(z)
-        active = act & (forward | backward) & (cnt_a > 1)
-        mask_f = active & ~backward
-        mask_b = active & backward
 
         dsum = jnp.zeros_like(xs)
         csum = jnp.zeros_like(xs)
@@ -225,16 +174,22 @@ def build_sharded_sweep(
         dev = jax.lax.axis_index(axis)
         base = jax.random.fold_in(base_key, dev)
 
-        def body(r, xs):
-            key = jax.random.fold_in(base, r)
-            xs = local_sweep(xs, key, etas_j[r], cool_j[r], pos, rank_a, cnt_a)
-            do_cons = (r % consensus_every) == (consensus_every - 1)
-            xs = jax.lax.cond(
-                do_cons, lambda v: consensus(v, node_a, w_a)[0], lambda v: v, xs
-            )
-            return xs
+        # nested loops, not lax.cond (cond copies captured operands
+        # every iteration — see ops/sweep_common.py rules)
+        n_periods = -(-n_sweeps // consensus_every)
 
-        xs = jax.lax.fori_loop(0, n_sweeps, body, xs)
+        def inner(rr, carry):
+            p_idx, xs = carry
+            r = jnp.minimum(p_idx * consensus_every + rr, n_sweeps - 1)
+            key = jax.random.fold_in(base, p_idx * consensus_every + rr)
+            xs = local_sweep(xs, key, etas_j[r], cool_j[r], pos, rank_a, cnt_a)
+            return (p_idx, xs)
+
+        def outer(p_idx, xs):
+            _, xs = jax.lax.fori_loop(0, consensus_every, inner, (p_idx, xs))
+            return consensus(xs, node_a, w_a)[0]
+
+        xs = jax.lax.fori_loop(0, n_periods, outer, xs)
         _, x_node, scnt = consensus(xs, node_a, w_a)
         return jnp.where(scnt > 0, x_node, x_node_init)
 
