@@ -59,6 +59,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Override the fixed seed (default 9399220)")
     p.add_argument("--batch", type=int, default=None,
                    help="TPU engine round width (terms per round)")
+    p.add_argument("--trace-out", default=None,
+                   help="Write per-step timing events as JSON lines")
     return p
 
 
@@ -108,6 +110,8 @@ def main(argv=None) -> int:
     )
     if args.verbose >= 2:
         log(f"[gfasort] pipeline took {time.time() - t0:.2f}s")
+    if args.trace_out and result.tracer is not None:
+        result.tracer.write(args.trace_out)
 
     if result.layout is not None:
         if args.layout_out:

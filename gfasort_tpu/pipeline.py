@@ -175,6 +175,7 @@ class PipelineResult:
     graph: BidirectedGraph
     layout: Optional[Layout] = None
     layout_stress: Optional[float] = None
+    tracer: object = None
 
 
 def run_pipeline(
@@ -188,6 +189,7 @@ def run_pipeline(
     batch: Optional[int] = None,
     verbose: int = 0,
     log=print,
+    tracer=None,
 ) -> PipelineResult:
     """Execute a pipeline string left-to-right on ``graph`` (mutating
     it), mirroring src/bin/gfasort.rs:182-277.  Parameters are derived
@@ -212,23 +214,34 @@ def run_pipeline(
         "S": "priority-topo-sort", "u": "unchop",
         "L": f"{dimensions}D layout",
     }
+    if tracer is None:
+        from .trace import Tracer
+
+        tracer = Tracer()
+    result.tracer = tracer
     for step_num, c in enumerate(pipeline):
         if verbose >= 1:
             log(f"[gfasort] [{step_num + 1}/{len(pipeline)}] {names[c]}")
-        if c == "Y":
-            sgd_sort_only(graph, sgd_params, engine)
-        elif c == "g":
-            groom_only(graph)
-        elif c == "s":
-            topological_sort_only(graph)
-        elif c == "S":
-            priority_topological_sort_only(graph)
-        elif c == "u":
-            unchop_only(graph)
-        elif c == "L":
-            layout, stress = layout_step(graph, layout_params, engine)
-            result.layout = layout
-            result.layout_stress = stress
-            if verbose >= 1:
-                log(f"[gfasort] layout stress: {stress:.6f}")
+        with tracer.step(
+            names[c], step=step_num + 1,
+            nodes=graph.node_count(), edges=len(graph.edges),
+        ):
+            if c == "Y":
+                sgd_sort_only(graph, sgd_params, engine)
+            elif c == "g":
+                groom_only(graph)
+            elif c == "s":
+                topological_sort_only(graph)
+            elif c == "S":
+                priority_topological_sort_only(graph)
+            elif c == "u":
+                unchop_only(graph)
+            elif c == "L":
+                layout, stress = layout_step(graph, layout_params, engine)
+                result.layout = layout
+                result.layout_stress = stress
+                if verbose >= 1:
+                    log(f"[gfasort] layout stress: {stress:.6f}")
+    if verbose >= 2:
+        log(f"[gfasort] step timings: {tracer.summary()}")
     return result
