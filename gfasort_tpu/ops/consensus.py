@@ -10,34 +10,33 @@ narrow window of the node space.  Per tile:
 
 * the step->window reduction is a tiny matmul against a one-hot matrix
   built **in VMEM** from an iota compare (never materialized in HBM) —
-  a Pallas kernel: ``[2, T] @ [T, W] -> [2, W]`` (sum row + count row);
+  a Pallas kernel computing ``[T] @ [T, W] -> [W]`` sums and counts;
 * window->global merge uses *windowed* scatter-add (per-ROW cost: one
   row per tile, not one per element);
-* the way back is a windowed row gather + the transpose matmul.
+* the way back is a windowed row gather + the transpose matvec.
 
-Steps whose node falls outside their tile's window are handled by a
-small element-scatter fallback; the band coverage is computed at build
-time so callers can fall back to plain scatter consensus when locality
-is poor.
+The window width is sized automatically from the 95th-percentile tile
+span.  Steps whose node falls outside their tile's window are handled
+by a small element-scatter fallback; the band coverage is reported so
+callers can fall back to plain scatter consensus when locality is poor.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import Optional
 
 import numpy as np
 
 __all__ = ["BandedConsensus", "build_banded_consensus"]
 
+_GROUP = 8  # tiles per Pallas grid step (sublane-divisibility rule)
+
 
 @dataclass
 class BandedConsensus:
-    """Callable pair: reduce(xs) -> x_node and broadcast(x_node) -> xs."""
-
     consensus: object          # (xs [S]) -> (xs_new [S], x_node [N])
-    coverage: float            # fraction of steps in-band
+    coverage: float
     tile: int
     window: int
 
@@ -45,17 +44,14 @@ class BandedConsensus:
 def build_banded_consensus(
     step_node: np.ndarray,      # [S] node index per step (>= 0)
     n_nodes: int,
-    tile: int = 256,
-    window: int = 512,
+    tile: int = 128,
+    window: Optional[int] = None,
     interpret: Optional[bool] = None,
 ):
-    """Build the banded consensus for a static step->node map.
-
-    Returns a :class:`BandedConsensus`; ``consensus.consensus(xs)``
-    is jit-safe (pure function of xs).
-    """
+    """Build the banded consensus for a static step->node map."""
     import jax
     import jax.numpy as jnp
+    import jax.lax as lax
     from jax.experimental import pallas as pl
 
     if interpret is None:
@@ -64,88 +60,102 @@ def build_banded_consensus(
     S = int(step_node.shape[0])
     N = int(n_nodes)
     T = tile
-    W = window
     n_tiles = -(-S // T)
+    n_tiles = -(-n_tiles // _GROUP) * _GROUP  # multiple of the group size
     S_pad = n_tiles * T
 
     node_pad = np.full(S_pad, -1, dtype=np.int64)
     node_pad[:S] = step_node
     tiles = node_pad.reshape(n_tiles, T)
 
-    # per-tile window base: median-centered (robust to outlier jumps —
-    # a min-based base lets one wild node push the whole tile out of
-    # band), clamped to [0, N-W]
-    bases = np.zeros(n_tiles, dtype=np.int32)
-    for b in range(n_tiles):
-        live = tiles[b][tiles[b] >= 0]
-        if len(live):
-            mid = int(np.median(live))
-            bases[b] = min(max(mid - W // 2, 0), max(N - W, 0))
+    live_nan = np.where(tiles >= 0, tiles.astype(np.float64), np.nan)
+    meds = np.nanmedian(live_nan, axis=1)
+    meds = np.where(np.isnan(meds), 0.0, meds)
+
+    if window is None:
+        with np.errstate(all="ignore"):
+            lo = np.nanpercentile(live_nan, 2.5, axis=1)
+            hi = np.nanpercentile(live_nan, 97.5, axis=1)
+        span = np.nanpercentile(np.where(np.isnan(hi - lo), 0, hi - lo), 95)
+        window = int(np.clip(-(-int(span * 1.3 + 64) // 128) * 128, 256, 4096))
+    W = int(window)
+
+    bases = np.clip(meds.astype(np.int64) - W // 2, 0, max(N - W, 0)).astype(np.int32)
     lidx = tiles - bases[:, None]
     in_band = (tiles >= 0) & (lidx >= 0) & (lidx < W)
     lidx = np.where(in_band, lidx, -1).astype(np.int32)
     coverage = float(in_band.sum()) / max(S, 1)
 
-    # out-of-band fallback (static index lists)
     oob_mask = (~in_band) & (tiles >= 0)
     oob_flat = np.flatnonzero(oob_mask.reshape(-1))
-    oob_steps = oob_flat.astype(np.int32)              # indices into padded xs
-    oob_nodes = node_pad[oob_flat].astype(np.int32)
+    oob_steps_j = jnp.asarray(oob_flat.astype(np.int32))
+    oob_nodes_j = jnp.asarray(node_pad[oob_flat].astype(np.int32))
+    n_oob = len(oob_flat)
 
     lidx_j = jnp.asarray(lidx)                          # [b, T]
     bases_j = jnp.asarray(bases)                        # [b]
-    oob_steps_j = jnp.asarray(oob_steps)
-    oob_nodes_j = jnp.asarray(oob_nodes)
-    n_oob = len(oob_steps)
+    live_j = jnp.asarray(node_pad >= 0)
+
+    G = _GROUP
+    n_groups = n_tiles // G
 
     # ---------------- Pallas kernels ----------------
-    def reduce_kernel(lidx_ref, xs_ref, out_ref):
-        """[T] steps -> [2, W] (sum, count) via MXU one-hot matmul."""
-        li = lidx_ref[0]                                # [T] int32
-        xs = xs_ref[0]                                  # [T] f32
-        onehot = (
-            li[:, None] == jax.lax.broadcasted_iota(jnp.int32, (T, W), 1)
-        ).astype(jnp.float32)                           # [T, W]
-        v = jnp.stack([xs, (li >= 0).astype(jnp.float32)])  # [2, T]
-        out_ref[0] = jnp.dot(v, onehot, preferred_element_type=jnp.float32)
+    def reduce_kernel(lidx_ref, xs_ref, sum_ref, cnt_ref):
+        """[G, T] steps -> [G, W] window sums and counts via MXU."""
+        for g in range(G):
+            li = lidx_ref[g]                            # [T] int32
+            xs = xs_ref[g]                              # [T] f32
+            onehot = (
+                li[:, None]
+                == jax.lax.broadcasted_iota(jnp.int32, (T, W), 1)
+            ).astype(jnp.float32)                       # [T, W]
+            v = jnp.stack([xs, (li >= 0).astype(jnp.float32)])  # [2, T]
+            out = jnp.dot(v, onehot, preferred_element_type=jnp.float32)
+            sum_ref[g] = out[0]
+            cnt_ref[g] = out[1]
 
     def expand_kernel(lidx_ref, win_ref, out_ref):
-        """[W] window values -> [T] per-step values (transpose side)."""
-        li = lidx_ref[0]
-        win = win_ref[0]                                # [W]
-        onehot = (
-            li[:, None] == jax.lax.broadcasted_iota(jnp.int32, (T, W), 1)
-        ).astype(jnp.float32)
-        out_ref[0] = jnp.dot(
-            onehot, win[:, None], preferred_element_type=jnp.float32
-        )[:, 0]
+        """[G, W] window values -> [G, T] per-step values."""
+        for g in range(G):
+            li = lidx_ref[g]
+            win = win_ref[g]                            # [W]
+            onehot = (
+                li[:, None]
+                == jax.lax.broadcasted_iota(jnp.int32, (T, W), 1)
+            ).astype(jnp.float32)
+            out_ref[g] = jnp.dot(
+                onehot, win[:, None], preferred_element_type=jnp.float32
+            )[:, 0]
 
     reduce_call = pl.pallas_call(
         reduce_kernel,
-        out_shape=jax.ShapeDtypeStruct((n_tiles, 2, W), jnp.float32),
-        grid=(n_tiles,),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_tiles, W), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, W), jnp.float32),
+        ),
+        grid=(n_groups,),
         in_specs=[
-            pl.BlockSpec((1, T), lambda b: (b, 0)),
-            pl.BlockSpec((1, T), lambda b: (b, 0)),
+            pl.BlockSpec((G, T), lambda b: (b, 0)),
+            pl.BlockSpec((G, T), lambda b: (b, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 2, W), lambda b: (b, 0, 0)),
+        out_specs=(
+            pl.BlockSpec((G, W), lambda b: (b, 0)),
+            pl.BlockSpec((G, W), lambda b: (b, 0)),
+        ),
         interpret=interpret,
     )
 
     expand_call = pl.pallas_call(
         expand_kernel,
         out_shape=jax.ShapeDtypeStruct((n_tiles, T), jnp.float32),
-        grid=(n_tiles,),
+        grid=(n_groups,),
         in_specs=[
-            pl.BlockSpec((1, T), lambda b: (b, 0)),
-            pl.BlockSpec((1, W), lambda b: (b, 0)),
+            pl.BlockSpec((G, T), lambda b: (b, 0)),
+            pl.BlockSpec((G, W), lambda b: (b, 0)),
         ],
-        out_specs=pl.BlockSpec((1, T), lambda b: (b, 0)),
+        out_specs=pl.BlockSpec((G, T), lambda b: (b, 0)),
         interpret=interpret,
     )
-
-    # windowed scatter-add: [b, W] updates at row starts bases [b]
-    import jax.lax as lax
 
     scatter_dnums = lax.ScatterDimensionNumbers(
         update_window_dims=(1,),
@@ -159,22 +169,23 @@ def build_banded_consensus(
     )
 
     def consensus(xs):
-        """xs [S] (f32/f64) -> (xs_new [S], x_node [N])."""
+        """xs [S] -> (xs_new [S], x_node [N]); matches plain
+        scatter-mean consensus exactly (oob fallback)."""
         dt = xs.dtype
         xs_pad = jnp.zeros(S_pad, jnp.float32).at[:S].set(
             xs.astype(jnp.float32)
         )
         xs_tiles = xs_pad.reshape(n_tiles, T)
-        win = reduce_call(lidx_j, xs_tiles)             # [b, 2, W]
+        wsum, wcnt = reduce_call(lidx_j, xs_tiles)       # [b, W] each
 
         npad = N + W
-        idx = bases_j[:, None].astype(jnp.int32)        # [b, 1]
+        idx = bases_j[:, None].astype(jnp.int32)         # [b, 1]
         ssum = lax.scatter_add(
-            jnp.zeros(npad, jnp.float32), idx, win[:, 0, :],
+            jnp.zeros(npad, jnp.float32), idx, wsum,
             scatter_dnums, indices_are_sorted=False, unique_indices=False,
         )
         scnt = lax.scatter_add(
-            jnp.zeros(npad, jnp.float32), idx, win[:, 1, :],
+            jnp.zeros(npad, jnp.float32), idx, wcnt,
             scatter_dnums, indices_are_sorted=False, unique_indices=False,
         )
         if n_oob:
@@ -182,18 +193,14 @@ def build_banded_consensus(
             scnt = scnt.at[oob_nodes_j].add(1.0)
         x_node = (ssum / jnp.maximum(scnt, 1))[:N]
 
-        # back: windowed row gather + expand matvec
         xwin = lax.gather(
             jnp.concatenate([x_node, jnp.zeros(W, x_node.dtype)]),
             idx, gather_dnums, slice_sizes=(W,),
-        )                                               # [b, W]
-        xs_new_tiles = expand_call(lidx_j, xwin)        # [b, T]
-        xs_new = xs_new_tiles.reshape(S_pad)
+        )                                                # [b, W]
+        xs_new = expand_call(lidx_j, xwin).reshape(S_pad)
         if n_oob:
             xs_new = xs_new.at[oob_steps_j].set(x_node[oob_nodes_j])
-        # pad slots / any remaining zero-band slots keep old values
-        live = jnp.asarray((node_pad >= 0))
-        xs_new = jnp.where(live, xs_new, xs_pad)
+        xs_new = jnp.where(live_j, xs_new, xs_pad)
         return xs_new[:S].astype(dt), x_node.astype(dt)
 
     return BandedConsensus(
