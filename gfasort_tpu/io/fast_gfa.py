@@ -39,11 +39,16 @@ def _assemble(lib, h) -> BidirectedGraph:
     g = BidirectedGraph()
     max_id = int(seg_ids.max()) if n_segs else -1
     g.nodes = [None] * (max_id + 1)
-    for i in range(n_segs):
-        nid = int(seg_ids[i])
-        if g.nodes[nid] is None:
-            g.node_order.append(nid)
-        g.nodes[nid] = blob[int(seq_off[i]) : int(seq_off[i + 1])]
+    # plain-list iteration: indexing numpy scalars per element is ~10x
+    # slower than pre-converting with tolist()
+    ids_l = seg_ids.tolist()
+    off_l = seq_off.tolist()
+    nodes = g.nodes
+    order_append = g.node_order.append
+    for i, nid in enumerate(ids_l):
+        if nodes[nid] is None:
+            order_append(nid)
+        nodes[nid] = blob[off_l[i] : off_l[i + 1]]
     g.edges = set(zip(link_from.tolist(), link_to.tolist()))
     path_names = names.split("\n")[:-1] if names else []
     for p in range(n_paths):

@@ -30,7 +30,7 @@ import numpy as np
 
 __all__ = ["BandedConsensus", "build_banded_consensus"]
 
-_GROUP = 8  # tiles per Pallas grid step (sublane-divisibility rule)
+_GROUP = 16  # tiles per Pallas grid step; onehot [G,T,W] must fit VMEM
 
 
 @dataclass
@@ -101,31 +101,38 @@ def build_banded_consensus(
 
     # ---------------- Pallas kernels ----------------
     def reduce_kernel(lidx_ref, xs_ref, sum_ref, cnt_ref):
-        """[G, T] steps -> [G, W] window sums and counts via MXU."""
-        for g in range(G):
-            li = lidx_ref[g]                            # [T] int32
-            xs = xs_ref[g]                              # [T] f32
-            onehot = (
-                li[:, None]
-                == jax.lax.broadcasted_iota(jnp.int32, (T, W), 1)
-            ).astype(jnp.float32)                       # [T, W]
-            v = jnp.stack([xs, (li >= 0).astype(jnp.float32)])  # [2, T]
-            out = jnp.dot(v, onehot, preferred_element_type=jnp.float32)
-            sum_ref[g] = out[0]
-            cnt_ref[g] = out[1]
+        """[G, T] steps -> [G, W] window sums/counts: one batched
+        dot_general over the group (onehot built in VMEM)."""
+        li = lidx_ref[...]                              # [G, T] int32
+        xs = xs_ref[...]                                # [G, T] f32
+        onehot = (
+            li[:, :, None]
+            == jax.lax.broadcasted_iota(jnp.int32, (G, T, W), 2)
+        ).astype(jnp.float32)                           # [G, T, W]
+        v = jnp.stack(
+            [xs, (li >= 0).astype(jnp.float32)], axis=1
+        )                                               # [G, 2, T]
+        out = jax.lax.dot_general(
+            v, onehot,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                               # [G, 2, W]
+        sum_ref[...] = out[:, 0, :]
+        cnt_ref[...] = out[:, 1, :]
 
     def expand_kernel(lidx_ref, win_ref, out_ref):
         """[G, W] window values -> [G, T] per-step values."""
-        for g in range(G):
-            li = lidx_ref[g]
-            win = win_ref[g]                            # [W]
-            onehot = (
-                li[:, None]
-                == jax.lax.broadcasted_iota(jnp.int32, (T, W), 1)
-            ).astype(jnp.float32)
-            out_ref[g] = jnp.dot(
-                onehot, win[:, None], preferred_element_type=jnp.float32
-            )[:, 0]
+        li = lidx_ref[...]                              # [G, T]
+        win = win_ref[...]                              # [G, W]
+        onehot = (
+            li[:, :, None]
+            == jax.lax.broadcasted_iota(jnp.int32, (G, T, W), 2)
+        ).astype(jnp.float32)
+        out_ref[...] = jax.lax.dot_general(
+            onehot, win[:, :, None],
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )[:, :, 0]
 
     reduce_call = pl.pallas_call(
         reduce_kernel,
