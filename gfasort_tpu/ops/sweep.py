@@ -144,9 +144,7 @@ def build_sweep_runner(
         k1, k2 = jax.random.split(key, 2)
         bits = jax.random.bits(k1, (S,), jnp.uint32)
         u = jax.random.uniform(k2, (S,), dtype=fdt)
-        oidx, mask_f, mask_b = sample_block(
-            bits, u, cooling, rank_arr, cnt_arr, active_frac
-        )
+        sidx = sample_block(bits, u, cooling, rank_arr, cnt_arr, active_frac)
 
         # IMPORTANT: every roll below applies to an INPUT array only.
         # Rolling a computed value (e.g. the update itself) breaks XLA
@@ -158,8 +156,6 @@ def build_sweep_runner(
         csum = jnp.zeros_like(xs)
         for ki in range(K):
             k = int(offs[ki])
-            choose_f = mask_f & (oidx == ki)
-            choose_b = mask_b & (oidx == ki)
 
             def half(shift, w_bool):
                 """Contribution received at each element from the pair
@@ -186,10 +182,11 @@ def build_sweep_runner(
                 r_x = (mu * (mag - safe) / 2.0 / mag) * dx
                 return -w * r_x, w
 
-            # partner ahead of me (t+k): I chose +k, or they chose -k
-            d1, w1 = half(-k, choose_f | jnp.roll(choose_b, -k))
+            # partner ahead of me (t+k): I chose +k, or they chose -k;
+            # all mask logic derives from rolls of the single i32 sidx
+            d1, w1 = half(-k, (sidx == ki) | (jnp.roll(sidx, -k) == ~ki))
             # partner behind me (t-k): I chose -k, or they chose +k
-            d2, w2 = half(+k, choose_b | jnp.roll(choose_f, +k))
+            d2, w2 = half(+k, (sidx == ~ki) | (jnp.roll(sidx, +k) == ki))
             dsum = dsum + d1 + d2
             csum = csum + w1 + w2
         return xs + dsum / jnp.maximum(csum, 1)

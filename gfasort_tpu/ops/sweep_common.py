@@ -28,8 +28,8 @@ __all__ = ["make_offset_sampler"]
 
 def make_offset_sampler(offs: np.ndarray, params, zetas: np.ndarray, fdt):
     """Build (snap_to_offset, zipf_z, sample_block) for a static offset
-    set.  ``sample_block(bits, u, cooling, rank_a, cnt_a, active_frac)``
-    returns (oidx, mask_f, mask_b) — everything the offset loop needs.
+    set.  ``sample_block(...)`` returns the signed per-step choice
+    array ``sidx`` (see its docstring).
     """
     import jax.numpy as jnp
 
@@ -120,8 +120,14 @@ def make_offset_sampler(offs: np.ndarray, params, zetas: np.ndarray, fdt):
         z = jnp.where(uz < 1.0, 1, jnp.where(uz < zeta2theta, 2, g))
         return jnp.minimum(z, jump_space)
 
+    INACTIVE = np.int32(0x7FFFFFF)
+
     def sample_block(bits, u, cooling, rank_a, cnt_a, active_frac):
-        """(oidx, mask_f, mask_b) for one sweep."""
+        """Single signed choice array ``sidx`` for one sweep:
+        ``ki`` = chose partner at +offs[ki], ``~ki`` (= -ki-1) = chose
+        partner at -offs[ki], INACTIVE otherwise.  One i32 array instead
+        of two bool masks — packed-pred arrays crossing fusion
+        boundaries trigger multi-ms layout-conversion copies on TPU."""
         coin1 = (bits >> 31) == 1
         coin2 = ((bits >> 30) & 1) == 1
         act = (
@@ -139,6 +145,9 @@ def make_offset_sampler(offs: np.ndarray, params, zetas: np.ndarray, fdt):
         z = jnp.where(use_zipf, z_zipf, z_unif)
         oidx = snap_to_offset(z)
         active = act & (forward | backward) & (cnt_a > 1)
-        return oidx, active & ~backward, active & backward
+        sidx = jnp.where(
+            active, jnp.where(backward, ~oidx, oidx), INACTIVE
+        ).astype(jnp.int32)
+        return sidx
 
     return snap_to_offset, zipf_z, sample_block

@@ -99,9 +99,7 @@ def build_sweep_nd_runner(
         bits = jax.random.bits(k1, (S,), jnp.uint32)
         other_end_self = ((bits >> 29) & 1) == 1   # end coin for me
         u = jax.random.uniform(k2, (S,), dtype=fdt)
-        oidx, mask_f, mask_b = sample_block(
-            bits, u, cooling, rank_a, cnt_a, active_frac
-        )
+        sidx = sample_block(bits, u, cooling, rank_a, cnt_a, active_frac)
 
         # per-term end choice for EACH endpoint: the reference flips a
         # coin per endpoint per term (rs:1060-1077).  Elementwise: my
@@ -117,8 +115,6 @@ def build_sweep_nd_runner(
         wacc = jnp.zeros((S,), cs.dtype)
         for ki in range(K):
             k = int(offs[ki])
-            choose_f = mask_f & (oidx == ki)
-            choose_b = mask_b & (oidx == ki)
 
             def half(shift, w_bool):
                 pos_o = jnp.roll(my_pos, shift)
@@ -143,8 +139,8 @@ def build_sweep_nd_runner(
                 upd = (w * r)[:, None] * deltas          # I receive -upd
                 return -upd, w
 
-            d1, w1 = half(-k, choose_f | jnp.roll(choose_b, -k))
-            d2, w2 = half(+k, choose_b | jnp.roll(choose_f, +k))
+            d1, w1 = half(-k, (sidx == ki) | (jnp.roll(sidx, -k) == ~ki))
+            d2, w2 = half(+k, (sidx == ~ki) | (jnp.roll(sidx, +k) == ki))
             acc = acc + d1 + d2
             wacc = wacc + w1 + w2
         # the chosen end is fixed for the whole sweep: apply the mean

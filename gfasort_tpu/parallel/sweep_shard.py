@@ -122,16 +122,12 @@ def build_sharded_sweep(
     def local_sweep(xs, key, eta, cooling, pos, rank_a, cnt_a):
         bits = jax.random.bits(key, (L,), jnp.uint32)
         u = jax.random.uniform(jax.random.fold_in(key, 1), (L,), dtype=fdt)
-        oidx, mask_f, mask_b = sample_block(
-            bits, u, cooling, rank_a, cnt_a, active_frac
-        )
+        sidx = sample_block(bits, u, cooling, rank_a, cnt_a, active_frac)
 
         dsum = jnp.zeros_like(xs)
         csum = jnp.zeros_like(xs)
         for ki in range(K):
             k = int(offs[ki])
-            choose_f = mask_f & (oidx == ki)
-            choose_b = mask_b & (oidx == ki)
 
             def half(shift, w_bool):
                 pos_o = jnp.roll(pos, shift)
@@ -150,8 +146,8 @@ def build_sharded_sweep(
                 r_x = (mu * (mag - safe) / 2.0 / mag) * dx
                 return -w * r_x, w
 
-            d1, w1 = half(-k, choose_f | jnp.roll(choose_b, -k))
-            d2, w2 = half(+k, choose_b | jnp.roll(choose_f, +k))
+            d1, w1 = half(-k, (sidx == ki) | (jnp.roll(sidx, -k) == ~ki))
+            d2, w2 = half(+k, (sidx == ~ki) | (jnp.roll(sidx, +k) == ki))
             dsum = dsum + d1 + d2
             csum = csum + w1 + w2
         return xs + dsum / jnp.maximum(csum, 1)
