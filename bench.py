@@ -22,7 +22,7 @@ N_NODES = int(os.environ.get("BENCH_NODES", 1_000_000))
 N_PATHS = int(os.environ.get("BENCH_PATHS", 16))
 STEPS = int(os.environ.get("BENCH_STEPS_PER_PATH", 250_000))
 BATCH = int(os.environ.get("BENCH_BATCH", 262_144))
-ROUNDS = int(os.environ.get("BENCH_ROUNDS", 50))
+ROUNDS = int(os.environ.get("BENCH_ROUNDS", 48))
 
 
 def main() -> int:
