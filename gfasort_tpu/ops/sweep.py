@@ -102,7 +102,6 @@ def build_sweep_runner(
     rank_arr = jnp.asarray(pidx.step_rank.astype(np.int32))
     cnt_arr = jnp.asarray(pidx.step_count_of_step.astype(np.int32))
     node_arr = jnp.asarray(pidx.step_node_idx.astype(np.int32))
-    offs_j = jnp.asarray(offs)
 
     # Active fraction per sweep: full-width (Jacobi) rounds measurably
     # hurt fine-scale quality — every node receives the MEAN of ~S/N
@@ -129,10 +128,6 @@ def build_sweep_runner(
         params.space, params.space_max, params.space_quantization_step,
         params.theta,
     )
-    space = int(params.space)
-    space_max = int(params.space_max)
-    quant = int(params.space_quantization_step)
-    theta0 = float(params.theta)
 
     from .sweep_common import make_offset_sampler
 

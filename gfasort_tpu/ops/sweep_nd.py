@@ -61,7 +61,6 @@ def build_sweep_nd_runner(
     len_arr = jnp.asarray(pidx.node_len, dtype=np.float32)[
         jnp.asarray(pidx.step_node_idx.astype(np.int32))
     ].astype(fdt)  # node length per step (resident, no gather in loop)
-    offs_j = jnp.asarray(offs)
 
     if active_frac is None:
         active_frac = float(np.clip(N / max(S, 1), 1.0 / 16.0, 1.0))
@@ -84,10 +83,6 @@ def build_sweep_nd_runner(
         params.space, params.space_max, params.space_quantization_step,
         params.theta,
     )
-    space = int(params.space)
-    space_max = int(params.space_max)
-    quant = int(params.space_quantization_step)
-    theta0 = float(params.theta)
 
     from .sweep_common import make_offset_sampler
 

@@ -85,7 +85,6 @@ def build_sharded_sweep(
     max_jump = max(1, min(int(params.space), pidx.max_path_step_count - 1))
     offs = offset_set(max_jump, per_octave)
     K = len(offs)
-    offs_j = jnp.asarray(offs)
 
     if active_frac is None:
         active_frac = float(np.clip(N / max(S, 1), 1.0 / 16.0, 1.0))
@@ -108,12 +107,6 @@ def build_sharded_sweep(
         params.space, params.space_max, params.space_quantization_step,
         params.theta,
     )
-    space = int(params.space)
-    space_max = int(params.space_max)
-    quant = int(params.space_quantization_step)
-    theta0 = float(params.theta)
-    _dense = int((offs <= 8).sum())
-    _ratio_log = 1.0 / per_octave
 
     from ..ops.sweep_common import make_offset_sampler
 

@@ -141,7 +141,7 @@ def layout_step(
     pidx = PathIndex.from_graph(graph)
     eng = engine
     if eng == "auto":
-        eng = "exact" if pidx.num_nodes <= AUTO_ORACLE_MAX_NODES else "batched"
+        eng = "exact" if pidx.num_nodes <= AUTO_ORACLE_MAX_NODES else "sweep"
     if eng == "exact":
         layout = None
         try:
@@ -155,6 +155,10 @@ def layout_step(
             from .ops.exact import path_linear_sgd_layout_exact
 
             layout = path_linear_sgd_layout_exact(graph, params, pidx)
+    elif eng in ("sweep", "auto"):
+        from .ops.sweep_nd import path_linear_sgd_layout_sweep
+
+        layout = path_linear_sgd_layout_sweep(graph, params, pidx)
     else:
         from .ops.sgd import path_linear_sgd_layout_batched
 
