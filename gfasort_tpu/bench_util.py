@@ -176,8 +176,6 @@ def bench_sweep_1d(
 def bench_native_1d(pidx: PathIndex, n_updates: int = 2_000_000) -> Optional[dict]:
     """CPU baseline: the C++ sequential oracle inner loop (stands in
     for the Rust reference at -t 1; same per-update semantics)."""
-    import ctypes
-
     from .native import available, load, _p64, _pf64
     from .ops.fastpow import zeta_table
 

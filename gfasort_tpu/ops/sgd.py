@@ -32,7 +32,6 @@ the reference's nondeterministic overshoot (SURVEY.md §8.1).
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass
 from functools import partial
 from typing import Optional

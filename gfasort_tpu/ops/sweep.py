@@ -197,12 +197,14 @@ def build_sweep_runner(
     # NOTE: the big static arrays are ARGUMENTS, not closures — XLA
     # constant-folds rolls of closed-over constants into the executable
     # (K rolled copies of each array => multi-GB programs).
-    node_a = node_arr  # closure constant: used only by scatter/gather
-    # (no rolls), so it stages into the executable once; passing it as
-    # an argument re-staged it every consensus (~68 ms profiled)
+    # node_arr is passed as an ARGUMENT (not a closure constant): a
+    # baked [S] constant makes every distinct graph ordering a fresh
+    # multi-minute tunnel compile, and multi-MB-constant programs have
+    # crashed the axon client.  Cost: ~68 ms scatter staging per
+    # consensus (measured), ~7% of headline throughput.
 
     @partial(jax.jit, donate_argnums=(0,))
-    def run(xs, x_node_init, base_key, pos, rank_a, cnt_a):
+    def run(xs, x_node_init, base_key, pos, rank_a, cnt_a, node_a):
         # Nested loops, NOT lax.cond: a conditional inside the loop
         # forces per-iteration copies of every captured operand
         # (profiled at ~26 ms per s32[S]/pred[S] array per sweep);
@@ -230,7 +232,7 @@ def build_sweep_runner(
         scnt = jnp.zeros(N, xs.dtype).at[node_a].add(1.0)
         return jnp.where(scnt > 0, x_node, x_node_init)
 
-    arrays = (pos, rank_arr, cnt_arr)
+    arrays = (pos, rank_arr, cnt_arr, node_arr)
 
     def make_state(x0=None):
         x_node0 = np.asarray(

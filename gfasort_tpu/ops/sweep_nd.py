@@ -157,10 +157,8 @@ def build_sweep_nd_runner(
         x_node = ssum / jnp.maximum(scnt, 1)[:, :, None]
         return x_node[node_a], x_node
 
-    node_a = node_arr  # closure constant (see ops/sweep.py note)
-
     @partial(jax.jit, donate_argnums=(0,))
-    def run(cs, key, pos, rank_a, cnt_a, rev_a, len_a):
+    def run(cs, key, pos, rank_a, cnt_a, rev_a, len_a, node_a):
         # nested loops, not lax.cond (see ops/sweep_common.py rules)
         n_periods = -(-n_sweeps // consensus_every)
 
@@ -180,7 +178,7 @@ def build_sweep_nd_runner(
         _, x_node = consensus(cs, node_a)
         return x_node
 
-    arrays = (pos, rank_arr, cnt_arr, rev_arr, len_arr)
+    arrays = (pos, rank_arr, cnt_arr, rev_arr, len_arr, node_arr)
 
     def make_state(init_node_coords: np.ndarray):
         """init_node_coords: [2N, D] (node-end rows) -> [S, 2, D]."""

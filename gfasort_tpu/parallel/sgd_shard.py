@@ -24,7 +24,6 @@ XLA's job once the mesh and shardings are declared.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import Optional
 
 import numpy as np

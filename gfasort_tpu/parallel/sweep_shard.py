@@ -15,7 +15,6 @@ volume is independent of step count.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import numpy as np

@@ -13,7 +13,7 @@ import json
 import time
 from contextlib import contextmanager
 from dataclasses import dataclass, field
-from typing import List, Optional
+from typing import List
 
 __all__ = ["Tracer", "TraceEvent"]
 
