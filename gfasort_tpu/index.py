@@ -36,13 +36,28 @@ __all__ = ["PathIndex", "sgd_node_ids"]
 
 def sgd_node_ids(graph: BidirectedGraph) -> List[int]:
     """Node iteration order used for SGD position seeding: ``node_order``
-    (GFA file order) if non-empty, else sorted live ids
-    (src/sgd.rs:276-284).  Entries whose node no longer exists are kept
-    here and filtered by the caller, matching the reference's stale
-    ``node_order`` semantics (apply_ordering never rewrites it)."""
+    (GFA file order) if it still covers every live node, else sorted
+    live ids (src/sgd.rs:276-284).
+
+    Deviation from the reference, on purpose: ``node_order`` is never
+    rewritten by renumbering (src/graph_ops.rs keeps it stale), and on
+    gapped-id inputs a renumbering step leaves it covering only part of
+    the graph.  The reference then silently drops every uncovered node
+    from the SGD ordering — ``apply_ordering`` deletes them from the
+    graph (and its workers skip their terms with a warning,
+    src/sgd.rs:525-538).  We fall back to sorted live ids instead,
+    which is bit-identical on dense-id inputs (where node_order always
+    covers everything) and non-destructive otherwise."""
+    live = graph.live_node_ids()
     if graph.node_order:
-        return list(graph.node_order)
-    return graph.live_node_ids()
+        n = len(graph.nodes)
+        covered = [
+            nid for nid in graph.node_order
+            if nid < n and graph.nodes[nid] is not None
+        ]
+        if len(covered) == len(live):
+            return covered
+    return live
 
 
 @dataclass

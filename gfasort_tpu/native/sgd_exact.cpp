@@ -197,6 +197,10 @@ int64_t sgd1d_exact(
             if (mu > 1.0) mu = 1.0;
             int64_t i = step_node[sa];
             int64_t j = step_node[sb];
+            // nodes absent from the SGD index (stale node_order after a
+            // renumbering on gapped-id inputs) are skipped, matching the
+            // reference's warning path (src/sgd.rs:525-538)
+            if (i < 0 || j < 0) continue;
             double dx = x[i] - x[j];
             if (dx == 0.0) dx = 1e-9;
             double mag = std::fabs(dx);
@@ -253,6 +257,7 @@ int64_t sgd_nd_exact(
             double pos_b = (double)step_pos[sb];
             int64_t i = step_node[sa];
             int64_t j = step_node[sb];
+            if (i < 0 || j < 0) continue;
 
             // random end choice (rs:1060-1077)
             int64_t i_rev = step_rev[sa];
@@ -339,6 +344,7 @@ int64_t sgd1d_bench(
         if (mu > 1.0) mu = 1.0;
         int64_t i = step_node[sa];
         int64_t j = step_node[sb];
+        if (i < 0 || j < 0) continue;
         double dx = x[i] - x[j];
         if (dx == 0.0) dx = 1e-9;
         double mag = std::fabs(dx);

@@ -208,6 +208,11 @@ def path_linear_sgd_exact(
                 mu = 1.0
             i = step_node[sa]
             j = step_node[sb]
+            if i < 0 or j < 0:
+                # node missing from the SGD index (stale node_order on
+                # gapped-id inputs): the reference warns and skips
+                # (src/sgd.rs:525-538)
+                continue
             dx = x[i] - x[j]
             if dx == 0.0:
                 dx = 1e-9
@@ -350,6 +355,8 @@ def path_linear_sgd_layout_exact(
             pos_b = float(step_pos[sb])
             i = step_node[sa]
             j = step_node[sb]
+            if i < 0 or j < 0:
+                continue
 
             # random end choice per term (rs:1060-1077)
             hi = step_handle[sa]

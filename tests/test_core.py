@@ -295,3 +295,26 @@ def test_layout_state_roundtrip():
     state = np.random.default_rng(0).normal(size=(6, 3))
     lay = Layout.from_state(state)
     np.testing.assert_allclose(lay.to_state(), state)
+
+
+def test_sgd_node_ids_stale_node_order_fallback():
+    """Gapped-id graph + renumbering: node_order goes stale and covers
+    only part of the graph; sgd_node_ids must fall back to live ids
+    (the reference would silently drop the uncovered nodes)."""
+    from gfasort_tpu.index import sgd_node_ids
+
+    g = BidirectedGraph()
+    for nid in (1, 2, 10001, 10002):  # gapped ids
+        g.add_node(nid, b"ACGT")
+    g.add_edge(H.forward(1), H.forward(2))
+    g.add_edge(H.forward(10001), H.forward(10002))
+    g.build_path("p", [(1, False), (2, False)])
+    g.build_path("q", [(10001, False), (10002, False)])
+    assert sgd_node_ids(g) == [1, 2, 10001, 10002]
+    # renumber to 1..4 -> node_order now covers only {1, 2}
+    g.apply_ordering([H.forward(i) for i in (1, 2, 10001, 10002)])
+    ids = sgd_node_ids(g)
+    assert sorted(ids) == [1, 2, 3, 4]
+    pidx = PathIndex.from_graph(g)
+    assert pidx.num_nodes == 4
+    assert (pidx.step_node_idx >= 0).all()
