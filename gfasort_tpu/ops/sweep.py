@@ -186,12 +186,23 @@ def build_sweep_runner(
             csum = csum + w1 + w2
         return xs + dsum / jnp.maximum(csum, 1)
 
+    # Per-node step counts are static (the node map never changes), so
+    # the count scatter is hoisted out of the loop entirely: consensus
+    # is one scatter-add + one gather, and the divide becomes a
+    # precomputed reciprocal (saves ~40 ms per consensus at S=4M).
+    node_cnt_host = np.bincount(
+        pidx.step_node_idx.astype(np.int64), minlength=N
+    ).astype(dtype)
+    inv_cnt = jnp.asarray(
+        1.0 / np.maximum(node_cnt_host, 1.0), dtype=fdt
+    )
+    has_steps = jnp.asarray(node_cnt_host > 0)
+
     def consensus(xs, node_arr):
         """Average step positions per node, write back (scatter-mean +
         gather — the only random access, amortized)."""
         ssum = jnp.zeros(N, xs.dtype).at[node_arr].add(xs)
-        scnt = jnp.zeros(N, xs.dtype).at[node_arr].add(1.0)
-        x_node = ssum / jnp.maximum(scnt, 1)
+        x_node = ssum * inv_cnt
         return x_node[node_arr], x_node
 
     # NOTE: the big static arrays are ARGUMENTS, not closures — XLA
@@ -229,8 +240,7 @@ def build_sweep_runner(
         _, x_node = consensus(xs, node_a)
         # nodes with no path steps keep their initial positions
         # (reference: untouched x entries, src/sgd.rs:264-294)
-        scnt = jnp.zeros(N, xs.dtype).at[node_a].add(1.0)
-        return jnp.where(scnt > 0, x_node, x_node_init)
+        return jnp.where(has_steps, x_node, x_node_init)
 
     arrays = (pos, rank_arr, cnt_arr, node_arr)
 
