@@ -1,24 +1,34 @@
 """Banded node consensus: the sweep engines' only random-access op,
-rebuilt as MXU matmuls.
+rebuilt as factorized one-hot MXU matmuls.
 
 Plain consensus is a scatter-mean + gather over ``[S]`` rows
-(``xs -> x_node -> xs``), profiled at ~101 ms for S=4M on TPU v5e —
-XLA element scatters/gathers cost ~12 ns *per row* regardless of width.
-This module exploits pangenome locality instead: after any reasonable
-sort, the node ids referenced by a tile of T consecutive steps span a
-narrow window of the node space.  Per tile:
+(``xs -> x_node -> xs``), profiled at ~62 ms for S=4M on TPU v5e (with
+the static count hoisted) — XLA element scatters/gathers cost ~12 ns
+*per row* regardless of width.  This module exploits pangenome locality
+instead: after any reasonable sort, the node ids referenced by a tile of
+T consecutive steps span a narrow window of the node space.
 
-* the step->window reduction is a tiny matmul against a one-hot matrix
-  built **in VMEM** from an iota compare (never materialized in HBM) —
-  a Pallas kernel computing ``[T] @ [T, W] -> [W]`` sums and counts;
-* window->global merge uses *windowed* scatter-add (per-ROW cost: one
-  row per tile, not one per element);
-* the way back is a windowed row gather + the transpose matvec.
+The step->window reduction is a one-hot contraction, but the one-hot is
+never materialized at full width: with ``li = hi*128 + lo`` the window
+one-hot factorizes as ``onehot(li) = onehot_hi (x) onehot_lo``, so
 
-The window width is sized automatically from the 95th-percentile tile
-span.  Steps whose node falls outside their tile's window are handled
-by a small element-scatter fallback; the band coverage is reported so
+    wsum[hi*128+lo] = sum_t oh_hi[t,hi] * (oh_lo[t,lo] * xs[t])
+
+is a ``[Wh,T] @ [T,128]`` matmul (Wh = W/128) — real MXU shapes with
+only ``T*(128+Wh)`` one-hot materialization per tile instead of the
+``T*W`` a naive one-hot costs.  The way back gathers window rows and
+selects with the same two factors.  Per-node counts are static and
+precomputed on the host, so only sums move through the kernel.
+
+Window->global merge uses *windowed* row scatter-add (one row per tile,
+not one element per step); the way back is a windowed row gather.
+Steps whose node falls outside their tile's window are handled by a
+small element-scatter fallback; the band coverage is reported so
 callers can fall back to plain scatter consensus when locality is poor.
+
+The static arrays (window-local indices, tile bases) are exposed on the
+result so hot loops can pass them as jit *arguments* — multi-MB baked
+constants have crashed the remote-compile client.
 """
 
 from __future__ import annotations
@@ -30,12 +40,15 @@ import numpy as np
 
 __all__ = ["BandedConsensus", "build_banded_consensus"]
 
-_GROUP = 16  # tiles per Pallas grid step; onehot [G,T,W] must fit VMEM
+_GROUP = 8   # tiles per Pallas grid step
+_LANE = 128  # TPU lane width; the `lo` factor of the index split
 
 
 @dataclass
 class BandedConsensus:
     consensus: object          # (xs [S]) -> (xs_new [S], x_node [N])
+    fn: object                 # (xs, lidx, bases, inv_cnt) -> same
+    arrays: tuple              # (lidx [n_tiles,T] i32, bases [n_tiles] i32, inv_cnt [N])
     coverage: float
     tile: int
     window: int
@@ -44,7 +57,7 @@ class BandedConsensus:
 def build_banded_consensus(
     step_node: np.ndarray,      # [S] node index per step (>= 0)
     n_nodes: int,
-    tile: int = 128,
+    tile: int = 256,
     window: Optional[int] = None,
     interpret: Optional[bool] = None,
 ):
@@ -68,87 +81,92 @@ def build_banded_consensus(
     node_pad[:S] = step_node
     tiles = node_pad.reshape(n_tiles, T)
 
-    live_nan = np.where(tiles >= 0, tiles.astype(np.float64), np.nan)
-    meds = np.nanmedian(live_nan, axis=1)
-    meds = np.where(np.isnan(meds), 0.0, meds)
+    live_t = tiles >= 0
+    big = np.where(live_t, tiles, np.iinfo(np.int64).max)
+    mins = big.min(axis=1)
+    mins = np.where(mins == np.iinfo(np.int64).max, 0, mins)
+    small = np.where(live_t, tiles, -1)
+    maxs = small.max(axis=1)
+    spans = np.maximum(maxs - mins + 1, 1)
 
     if window is None:
-        with np.errstate(all="ignore"):
-            lo = np.nanpercentile(live_nan, 2.5, axis=1)
-            hi = np.nanpercentile(live_nan, 97.5, axis=1)
-        span = np.nanpercentile(np.where(np.isnan(hi - lo), 0, hi - lo), 95)
-        window = int(np.clip(-(-int(span * 1.3 + 64) // 128) * 128, 256, 4096))
-    W = int(window)
+        # cover ~99% of tiles exactly; stragglers (notably tiles that
+        # straddle a path boundary, whose span is unbounded) go to the
+        # element fallback instead of inflating the window
+        window = int(np.percentile(spans, 99.0)) + 1
+    # round up to the lane width so li = hi*LANE + lo tiles exactly
+    W = max(-(-int(window) // _LANE) * _LANE, _LANE)
+    Wh = W // _LANE
 
-    bases = np.clip(meds.astype(np.int64) - W // 2, 0, max(N - W, 0)).astype(np.int32)
+    bases = np.clip(mins, 0, max(N - W, 0)).astype(np.int32)
     lidx = tiles - bases[:, None]
-    in_band = (tiles >= 0) & (lidx >= 0) & (lidx < W)
+    in_band = live_t & (lidx >= 0) & (lidx < W)
     lidx = np.where(in_band, lidx, -1).astype(np.int32)
     coverage = float(in_band.sum()) / max(S, 1)
 
-    oob_mask = (~in_band) & (tiles >= 0)
+    oob_mask = (~in_band) & live_t
     oob_flat = np.flatnonzero(oob_mask.reshape(-1))
     oob_steps_j = jnp.asarray(oob_flat.astype(np.int32))
     oob_nodes_j = jnp.asarray(node_pad[oob_flat].astype(np.int32))
     n_oob = len(oob_flat)
 
-    lidx_j = jnp.asarray(lidx)                          # [b, T]
-    bases_j = jnp.asarray(bases)                        # [b]
+    # static per-node counts (includes oob steps)
+    cnt = np.bincount(step_node.astype(np.int64), minlength=N).astype(np.float64)
+    inv_cnt_np = (1.0 / np.maximum(cnt, 1.0)).astype(np.float32)
     live_j = jnp.asarray(node_pad >= 0)
+
+    lidx_j = jnp.asarray(lidx)                          # [n_tiles, T]
+    bases_j = jnp.asarray(bases)                        # [n_tiles]
+    inv_cnt_j = jnp.asarray(inv_cnt_np)                 # [N]
 
     G = _GROUP
     n_groups = n_tiles // G
+    HIGH = jax.lax.Precision.HIGHEST
 
     # ---------------- Pallas kernels ----------------
-    def reduce_kernel(lidx_ref, xs_ref, sum_ref, cnt_ref):
-        """[G, T] steps -> [G, W] window sums/counts: one batched
-        dot_general over the group (onehot built in VMEM)."""
+    def reduce_kernel(lidx_ref, xs_ref, sum_ref):
+        """[G, T] steps -> [G, W] window sums via the factorized
+        one-hot: [G, Wh, T] @ [G, T, LANE]."""
         li = lidx_ref[...]                              # [G, T] int32
         xs = xs_ref[...]                                # [G, T] f32
-        onehot = (
-            li[:, :, None]
-            == jax.lax.broadcasted_iota(jnp.int32, (G, T, W), 2)
-        ).astype(jnp.float32)                           # [G, T, W]
-        v = jnp.stack(
-            [xs, (li >= 0).astype(jnp.float32)], axis=1
-        )                                               # [G, 2, T]
+        lo = jax.lax.broadcasted_iota(jnp.int32, (G, T, _LANE), 2)
+        oh_lo = (li[:, :, None] & (_LANE - 1)) == lo    # [G, T, LANE]
+        a = jnp.where(oh_lo, xs[:, :, None], 0.0)       # [G, T, LANE]
+        hi = jax.lax.broadcasted_iota(jnp.int32, (G, Wh, T), 1)
+        oh_hi = ((li[:, None, :] >> 7) == hi).astype(jnp.float32)
         out = jax.lax.dot_general(
-            v, onehot,
+            oh_hi, a,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )                                               # [G, 2, W]
-        sum_ref[...] = out[:, 0, :]
-        cnt_ref[...] = out[:, 1, :]
+            precision=HIGH,
+        )                                               # [G, Wh, LANE]
+        sum_ref[...] = out.reshape(G, W)
 
     def expand_kernel(lidx_ref, win_ref, out_ref):
         """[G, W] window values -> [G, T] per-step values."""
         li = lidx_ref[...]                              # [G, T]
-        win = win_ref[...]                              # [G, W]
-        onehot = (
-            li[:, :, None]
-            == jax.lax.broadcasted_iota(jnp.int32, (G, T, W), 2)
-        ).astype(jnp.float32)
-        out_ref[...] = jax.lax.dot_general(
-            onehot, win[:, :, None],
+        win = win_ref[...].reshape(G, Wh, _LANE)        # [G, Wh, LANE]
+        hi = jax.lax.broadcasted_iota(jnp.int32, (G, T, Wh), 2)
+        oh_hi = ((li[:, :, None] >> 7) == hi).astype(jnp.float32)
+        b1 = jax.lax.dot_general(
+            oh_hi, win,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )[:, :, 0]
+            precision=HIGH,
+        )                                               # [G, T, LANE]
+        lo = jax.lax.broadcasted_iota(jnp.int32, (G, T, _LANE), 2)
+        oh_lo = (li[:, :, None] & (_LANE - 1)) == lo
+        out_ref[...] = jnp.sum(jnp.where(oh_lo, b1, 0.0), axis=2)
 
     reduce_call = pl.pallas_call(
         reduce_kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((n_tiles, W), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, W), jnp.float32),
-        ),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, W), jnp.float32),
         grid=(n_groups,),
         in_specs=[
             pl.BlockSpec((G, T), lambda b: (b, 0)),
             pl.BlockSpec((G, T), lambda b: (b, 0)),
         ],
-        out_specs=(
-            pl.BlockSpec((G, W), lambda b: (b, 0)),
-            pl.BlockSpec((G, W), lambda b: (b, 0)),
-        ),
+        out_specs=pl.BlockSpec((G, W), lambda b: (b, 0)),
         interpret=interpret,
     )
 
@@ -175,41 +193,42 @@ def build_banded_consensus(
         start_index_map=(0,),
     )
 
-    def consensus(xs):
+    def fn(xs, lidx_a, bases_a, inv_cnt_a):
         """xs [S] -> (xs_new [S], x_node [N]); matches plain
-        scatter-mean consensus exactly (oob fallback)."""
+        scatter-mean consensus (oob fallback covers stragglers).
+        Static arrays are passed as arguments for hot-loop use."""
         dt = xs.dtype
         xs_pad = jnp.zeros(S_pad, jnp.float32).at[:S].set(
             xs.astype(jnp.float32)
         )
         xs_tiles = xs_pad.reshape(n_tiles, T)
-        wsum, wcnt = reduce_call(lidx_j, xs_tiles)       # [b, W] each
+        wsum = reduce_call(lidx_a, xs_tiles)             # [n_tiles, W]
 
         npad = N + W
-        idx = bases_j[:, None].astype(jnp.int32)         # [b, 1]
+        idx = bases_a[:, None].astype(jnp.int32)         # [n_tiles, 1]
         ssum = lax.scatter_add(
             jnp.zeros(npad, jnp.float32), idx, wsum,
             scatter_dnums, indices_are_sorted=False, unique_indices=False,
         )
-        scnt = lax.scatter_add(
-            jnp.zeros(npad, jnp.float32), idx, wcnt,
-            scatter_dnums, indices_are_sorted=False, unique_indices=False,
-        )
         if n_oob:
             ssum = ssum.at[oob_nodes_j].add(xs_pad[oob_steps_j])
-            scnt = scnt.at[oob_nodes_j].add(1.0)
-        x_node = (ssum / jnp.maximum(scnt, 1))[:N]
+        x_node = ssum[:N] * inv_cnt_a
 
         xwin = lax.gather(
             jnp.concatenate([x_node, jnp.zeros(W, x_node.dtype)]),
             idx, gather_dnums, slice_sizes=(W,),
-        )                                                # [b, W]
-        xs_new = expand_call(lidx_j, xwin).reshape(S_pad)
+        )                                                # [n_tiles, W]
+        xs_new = expand_call(lidx_a, xwin).reshape(S_pad)
         if n_oob:
             xs_new = xs_new.at[oob_steps_j].set(x_node[oob_nodes_j])
         xs_new = jnp.where(live_j, xs_new, xs_pad)
         return xs_new[:S].astype(dt), x_node.astype(dt)
 
+    def consensus(xs):
+        return fn(xs, lidx_j, bases_j, inv_cnt_j)
+
     return BandedConsensus(
-        consensus=consensus, coverage=coverage, tile=T, window=W
+        consensus=consensus, fn=fn,
+        arrays=(lidx_j, bases_j, inv_cnt_j),
+        coverage=coverage, tile=T, window=W,
     )
