@@ -172,20 +172,42 @@ class BidirectedGraph:
         (edges touching unmapped ids are dropped; unmapped path steps
         keep their old id, src/graph_ops.rs:1983-2020).
         """
-        new_edges: set[Tuple[int, int]] = set()
-        for f, t in self.edges:
-            fid, tid = H.node_id(f), H.node_id(t)
-            if keep_unmapped:
-                nf = mapping.get(fid, fid)
-                nt = mapping.get(tid, tid)
-            else:
-                if fid not in mapping or tid not in mapping:
-                    continue
-                nf, nt = mapping[fid], mapping[tid]
-            new_edges.add(
-                (H.encode(nf, H.is_reverse(f)), H.encode(nt, H.is_reverse(t)))
-            )
-        self.edges = new_edges
+        native_done = False
+        if len(self.edges) >= 4096 and mapping:
+            # C fast path: rewrite the whole set through an id LUT in one
+            # pass (the per-edge Python loop costs ~5 µs/edge at scale).
+            from .native.build import load_py
+
+            pylib = load_py()
+            if pylib is not None:
+                lut = np.full(max(mapping) + 1, -1, dtype=np.int64)
+                keys = np.fromiter(mapping.keys(), dtype=np.int64, count=len(mapping))
+                vals = np.fromiter(mapping.values(), dtype=np.int64, count=len(mapping))
+                lut[keys] = vals
+                import ctypes
+
+                self.edges = pylib.remap_edge_set(
+                    self.edges,
+                    lut.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                    len(lut),
+                    0 if keep_unmapped else 1,
+                )
+                native_done = True
+        if not native_done:
+            new_edges: set[Tuple[int, int]] = set()
+            for f, t in self.edges:
+                fid, tid = H.node_id(f), H.node_id(t)
+                if keep_unmapped:
+                    nf = mapping.get(fid, fid)
+                    nt = mapping.get(tid, tid)
+                else:
+                    if fid not in mapping or tid not in mapping:
+                        continue
+                    nf, nt = mapping[fid], mapping[tid]
+                new_edges.add(
+                    (H.encode(nf, H.is_reverse(f)), H.encode(nt, H.is_reverse(t)))
+                )
+            self.edges = new_edges
 
         if mapping:
             max_old = max(

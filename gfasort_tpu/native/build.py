@@ -11,6 +11,7 @@ import ctypes
 import hashlib
 import pathlib
 import subprocess
+import sysconfig
 import threading
 from typing import Optional
 
@@ -18,14 +19,17 @@ _HERE = pathlib.Path(__file__).parent
 _BUILD = _HERE / "_build"
 _LOCK = threading.Lock()
 _LIB: Optional[ctypes.CDLL] = None
+_PYLIB: Optional[ctypes.PyDLL] = None
+_PYLIB_FAILED = False
 
-SOURCES = ["sgd_exact.cpp", "gfa_parser.cpp"]
+SOURCES = ["sgd_exact.cpp", "gfa_parser.cpp", "py_assemble.cpp"]
 # -ffp-contract=off: forbid FMA contraction so every f64 op rounds like
 # the Rust reference (and the Python oracle); GCC's default
 # -ffp-contract=fast breaks bit parity.
 CXXFLAGS = [
     "-O3", "-march=native", "-ffp-contract=off",
     "-fPIC", "-shared", "-std=c++17", "-Wall",
+    f"-I{sysconfig.get_paths()['include']}",
 ]
 
 
@@ -69,6 +73,35 @@ def load() -> Optional[ctypes.CDLL]:
             return None
         _declare(_LIB)
         return _LIB
+
+
+def load_py() -> Optional[ctypes.PyDLL]:
+    """Load the same library through PyDLL (GIL held) for the
+    CPython-API assembly helpers in py_assemble.cpp.  Returns None if
+    the native build is unavailable."""
+    global _PYLIB, _PYLIB_FAILED
+    if load() is None:
+        return None
+    with _LOCK:
+        if _PYLIB is not None or _PYLIB_FAILED:
+            return _PYLIB
+        try:
+            pylib = ctypes.PyDLL(str(build()))
+            i64 = ctypes.c_int64
+            pi64 = ctypes.POINTER(ctypes.c_int64)
+            pylib.gfa_build_nodes.restype = ctypes.py_object
+            pylib.gfa_build_nodes.argtypes = [i64, pi64, pi64, ctypes.c_void_p]
+            pylib.gfa_build_edges.restype = ctypes.py_object
+            pylib.gfa_build_edges.argtypes = [i64, pi64, pi64]
+            pylib.remap_edge_set.restype = ctypes.py_object
+            pylib.remap_edge_set.argtypes = [
+                ctypes.py_object, pi64, i64, ctypes.c_int,
+            ]
+            _PYLIB = pylib
+        except (OSError, AttributeError):
+            _PYLIB_FAILED = True
+            return None
+        return _PYLIB
 
 
 def _declare(lib: ctypes.CDLL) -> None:
