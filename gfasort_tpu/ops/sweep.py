@@ -48,6 +48,10 @@ from .schedule import eta_schedule
 __all__ = ["offset_set", "build_sweep_runner", "path_linear_sgd_sweep", "path_sgd_sort_sweep"]
 
 
+def _round_up_multiple(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
 def offset_set(space: int, per_octave: int = 4, dense_upto: int = 8) -> np.ndarray:
     """Static log-spaced jump offsets: all of 1..dense_upto, then
     ``per_octave`` per factor-2 up to ``space``."""
@@ -73,6 +77,7 @@ def build_sweep_runner(
     per_octave: int = 4,
     consensus_every: int = 4,
     active_frac: Optional[float] = None,
+    rotate: int = 1,
 ):
     """Construct the jitted sweep-engine runner once.  Returns
     (run_fn, arrays, make_state, info) where
@@ -95,6 +100,40 @@ def build_sweep_runner(
     max_jump = max(1, min(int(params.space), pidx.max_path_step_count - 1))
     offs = offset_set(max_jump, per_octave)
     K = len(offs)
+
+    # Bucket rotation: each sweep uses the dense offsets (1..8, most of
+    # the warm-phase Zipf mass) plus every `rotate`-th large offset,
+    # with the phase advancing per sweep.  Sweep cost is proportional
+    # to the number of offset buckets (one fused roll pass per bucket),
+    # so rotation cuts the hot-loop cost ~(K/K_phase)x while the
+    # aggregate jump distribution over `rotate` consecutive sweeps
+    # matches the full offset set at its native resolution; a single
+    # sweep samples a rotate-x coarser large-jump grid — the same
+    # approximation class as the snapping itself, still with exact
+    # snapped-pair distances.  Updates per sweep are unchanged (each
+    # active step still proposes exactly one partner).
+    n_dense = int((offs <= 8).sum())
+    rotate = int(max(1, rotate))
+    if rotate > 1 and (K - n_dense) < 2 * rotate:
+        rotate = 1  # too few large buckets to be worth striding
+    if rotate > 1:
+        phase_offsets = [
+            np.concatenate([offs[:n_dense], offs[n_dense + p :: rotate]])
+            for p in range(rotate)
+        ]
+        # keep the global max offset in every phase so the top of the
+        # jump space stays reachable (snap caps at the set's last entry)
+        phase_offsets = [
+            po_ if po_[-1] == offs[-1] else np.append(po_, offs[-1])
+            for po_ in phase_offsets
+        ]
+    else:
+        phase_offsets = [offs]
+    # consensus period must cover whole rotations so every phase runs
+    # equally often (and the phase of sweep r stays static in the
+    # unrolled inner loop below)
+    if rotate > 1:
+        consensus_every = _round_up_multiple(consensus_every, rotate)
 
     # ---- static device arrays (elementwise residents, no gathers) ----
     pos = jnp.asarray(pidx.step_pos, dtype=fdt)
@@ -131,60 +170,67 @@ def build_sweep_runner(
 
     from .sweep_common import make_offset_sampler
 
-    _snap, _zipf, sample_block = make_offset_sampler(offs, params, zetas, fdt)
+    def make_sweep_fn(offs_p: np.ndarray):
+        offs_p = np.asarray(offs_p)
+        Kp = len(offs_p)
+        _, _, sample_block = make_offset_sampler(offs_p, params, zetas, fdt)
 
-    def sweep(xs, key, eta, cooling, pos, rank_arr, cnt_arr):
-        """One sweep: each step proposes one signed offset bucket; for
-        every bucket, apply the masked pair update via rolls."""
-        k1, k2 = jax.random.split(key, 2)
-        bits = jax.random.bits(k1, (S,), jnp.uint32)
-        u = jax.random.uniform(k2, (S,), dtype=fdt)
-        sidx = sample_block(bits, u, cooling, rank_arr, cnt_arr, active_frac)
+        def sweep(xs, key, eta, cooling, pos, rank_arr, cnt_arr):
+            """One sweep: each step proposes one signed offset bucket;
+            for every bucket, apply the masked pair update via rolls."""
+            k1, k2 = jax.random.split(key, 2)
+            bits = jax.random.bits(k1, (S,), jnp.uint32)
+            u = jax.random.uniform(k2, (S,), dtype=fdt)
+            sidx = sample_block(bits, u, cooling, rank_arr, cnt_arr, active_frac)
 
-        # IMPORTANT: every roll below applies to an INPUT array only.
-        # Rolling a computed value (e.g. the update itself) breaks XLA
-        # fusion and blows up both compile time and runtime; instead the
-        # partner-side contribution is recomputed from the receiver's
-        # perspective with inputs rolled the other way (measured ~100x
-        # faster on TPU v5e).
-        dsum = jnp.zeros_like(xs)
-        csum = jnp.zeros_like(xs)
-        for ki in range(K):
-            k = int(offs[ki])
+            # IMPORTANT: every roll below applies to an INPUT array only.
+            # Rolling a computed value (e.g. the update itself) breaks XLA
+            # fusion and blows up both compile time and runtime; instead the
+            # partner-side contribution is recomputed from the receiver's
+            # perspective with inputs rolled the other way (measured ~100x
+            # faster on TPU v5e).
+            dsum = jnp.zeros_like(xs)
+            csum = jnp.zeros_like(xs)
+            for ki in range(Kp):
+                k = int(offs_p[ki])
 
-            def half(shift, w_bool):
-                """Contribution received at each element from the pair
-                (t, t+shift): dx = xs[t] - xs[t+shift].  Partner-in-path
-                validity is LOCAL: paths are contiguous in step space,
-                so the partner at t+k is in my path iff rank+k < cnt
-                (ahead) / rank >= k (behind) — no rolled int arrays
-                needed (halves the sweep's HBM traffic)."""
-                pos_o = jnp.roll(pos, shift)
-                xs_o = jnp.roll(xs, shift)
-                pair_ok = (
-                    rank_arr - shift < cnt_arr if shift < 0
-                    else rank_arr >= shift
-                )
-                d = jnp.abs(pos - pos_o)
-                valid = pair_ok & (d != 0)
-                w = jnp.where(valid, w_bool.astype(xs.dtype), fdt(0))
-                safe = jnp.where(valid, d, 1.0)
-                mu = jnp.minimum(eta / safe, 1.0)
-                dx = xs - xs_o
-                dx = jnp.where(dx == 0, fdt(1e-9), dx)
-                mag = jnp.abs(dx)
-                # for pair (a=me, b=other): I am 'a', I receive -r_x
-                r_x = (mu * (mag - safe) / 2.0 / mag) * dx
-                return -w * r_x, w
+                def half(shift, w_bool):
+                    """Contribution received at each element from the pair
+                    (t, t+shift): dx = xs[t] - xs[t+shift].  Partner-in-path
+                    validity is LOCAL: paths are contiguous in step space,
+                    so the partner at t+k is in my path iff rank+k < cnt
+                    (ahead) / rank >= k (behind) — no rolled int arrays
+                    needed (halves the sweep's HBM traffic)."""
+                    pos_o = jnp.roll(pos, shift)
+                    xs_o = jnp.roll(xs, shift)
+                    pair_ok = (
+                        rank_arr - shift < cnt_arr if shift < 0
+                        else rank_arr >= shift
+                    )
+                    d = jnp.abs(pos - pos_o)
+                    valid = pair_ok & (d != 0)
+                    w = jnp.where(valid, w_bool.astype(xs.dtype), fdt(0))
+                    safe = jnp.where(valid, d, 1.0)
+                    mu = jnp.minimum(eta / safe, 1.0)
+                    dx = xs - xs_o
+                    dx = jnp.where(dx == 0, fdt(1e-9), dx)
+                    mag = jnp.abs(dx)
+                    # for pair (a=me, b=other): I am 'a', I receive -r_x
+                    r_x = (mu * (mag - safe) / 2.0 / mag) * dx
+                    return -w * r_x, w
 
-            # partner ahead of me (t+k): I chose +k, or they chose -k;
-            # all mask logic derives from rolls of the single i32 sidx
-            d1, w1 = half(-k, (sidx == ki) | (jnp.roll(sidx, -k) == ~ki))
-            # partner behind me (t-k): I chose -k, or they chose +k
-            d2, w2 = half(+k, (sidx == ~ki) | (jnp.roll(sidx, +k) == ki))
-            dsum = dsum + d1 + d2
-            csum = csum + w1 + w2
-        return xs + dsum / jnp.maximum(csum, 1)
+                # partner ahead of me (t+k): I chose +k, or they chose -k;
+                # all mask logic derives from rolls of the single i32 sidx
+                d1, w1 = half(-k, (sidx == ki) | (jnp.roll(sidx, -k) == ~ki))
+                # partner behind me (t-k): I chose -k, or they chose +k
+                d2, w2 = half(+k, (sidx == ~ki) | (jnp.roll(sidx, +k) == ki))
+                dsum = dsum + d1 + d2
+                csum = csum + w1 + w2
+            return xs + dsum / jnp.maximum(csum, 1)
+
+        return sweep
+
+    sweep_fns = [make_sweep_fn(po_) for po_ in phase_offsets]
 
     # Per-node step counts are static (the node map never changes), so
     # the count scatter is hoisted out of the loop entirely: consensus
@@ -225,16 +271,31 @@ def build_sweep_runner(
         # eta — a few bonus updates at the terminal learning rate).
         n_periods = -(-n_sweeps // consensus_every)
 
-        def inner(rr, carry):
-            p_idx, xs = carry
-            r = jnp.minimum(p_idx * consensus_every + rr, n_sweeps - 1)
-            key = jax.random.fold_in(base_key, p_idx * consensus_every + rr)
-            xs = sweep(xs, key, etas_j[r], cool_j[r], pos, rank_a, cnt_a)
-            return (p_idx, xs)
+        if len(sweep_fns) == 1:
+            def inner(rr, carry):
+                p_idx, xs = carry
+                r = jnp.minimum(p_idx * consensus_every + rr, n_sweeps - 1)
+                key = jax.random.fold_in(base_key, p_idx * consensus_every + rr)
+                xs = sweep_fns[0](xs, key, etas_j[r], cool_j[r], pos, rank_a, cnt_a)
+                return (p_idx, xs)
 
-        def outer(p_idx, xs):
-            _, xs = jax.lax.fori_loop(0, consensus_every, inner, (p_idx, xs))
-            return consensus(xs, node_a)[0]
+            def outer(p_idx, xs):
+                _, xs = jax.lax.fori_loop(0, consensus_every, inner, (p_idx, xs))
+                return consensus(xs, node_a)[0]
+        else:
+            # bucket rotation: the inner period is unrolled in Python so
+            # each sweep's phase — and therefore its offset set — stays
+            # STATIC (consensus_every is a multiple of `rotate`, so the
+            # phase of slot rr is rr % rotate in every period)
+            def outer(p_idx, xs):
+                for rr in range(consensus_every):
+                    idx = p_idx * consensus_every + rr
+                    r = jnp.minimum(idx, n_sweeps - 1)
+                    key = jax.random.fold_in(base_key, idx)
+                    xs = sweep_fns[rr % len(sweep_fns)](
+                        xs, key, etas_j[r], cool_j[r], pos, rank_a, cnt_a
+                    )
+                return consensus(xs, node_a)[0]
 
         xs = jax.lax.fori_loop(0, n_periods, outer, xs)
         _, x_node = consensus(xs, node_a)
@@ -252,7 +313,9 @@ def build_sweep_runner(
         return xs0, jnp.asarray(x_node0, dtype=fdt)
 
     info = {"n_sweeps": n_sweeps, "updates_per_sweep": updates_per_sweep,
-            "active_frac": active_frac, "n_offsets": K}
+            "active_frac": active_frac, "n_offsets": K, "rotate": rotate,
+            "phase_offsets": [len(po_) for po_ in phase_offsets],
+            "consensus_every": consensus_every}
     return run, arrays, make_state, info
 
 
@@ -263,6 +326,7 @@ def path_linear_sgd_sweep(
     per_octave: int = 4,
     consensus_every: int = 4,
     active_frac: Optional[float] = None,
+    rotate: int = 1,
     x0: Optional[np.ndarray] = None,
     return_info: bool = False,
 ):
@@ -276,7 +340,7 @@ def path_linear_sgd_sweep(
     if not pidx.has_multi_step_path():
         return None
     run, arrays, make_state, info = build_sweep_runner(
-        pidx, params, per_octave, consensus_every, active_frac
+        pidx, params, per_octave, consensus_every, active_frac, rotate
     )
     xs0, x_node0 = make_state(x0)
     x_final = run(xs0, x_node0, jax.random.key(params.seed), *arrays)

@@ -65,13 +65,18 @@ def make_offset_sampler(offs: np.ndarray, params, zetas: np.ndarray, fdt):
         idx_log = _dense - 1 + jnp.maximum(m, 0) + 1
         idx = jnp.where(z <= _dense, z.astype(jnp.int32) - 1,
                         jnp.clip(idx_log, _dense - 1, K - 1))
-        too_big = off_of(idx) > z
-        idx = jnp.where(too_big, jnp.maximum(idx - 1, 0), idx)
-        # the arithmetic index can land one bucket low; nudge up when
-        # the NEXT offset still fits
-        nxt = jnp.minimum(idx + 1, K - 1)
-        fits = off_of(nxt) <= z
-        return jnp.where(fits & (nxt > idx), nxt, idx)
+        # the arithmetic index can land a couple of buckets off when the
+        # offset set is not exactly log-uniform (rounding; the appended
+        # global-max offset of a rotation phase set); correct with two
+        # nudges each way — each is a where-tree lookup, no gathers
+        for _ in range(2):
+            too_big = off_of(idx) > z
+            idx = jnp.where(too_big, jnp.maximum(idx - 1, 0), idx)
+        for _ in range(2):
+            nxt = jnp.minimum(idx + 1, K - 1)
+            fits = off_of(nxt) <= z
+            idx = jnp.where(fits & (nxt > idx), nxt, idx)
+        return idx
 
     def _bucket_consts(theta):
         zeta_k = np.empty(K)

@@ -72,3 +72,44 @@ def test_sweep_no_paths_returns_none():
     g.add_node(1, b"A")
     p = YgsParams().path_sgd
     assert path_linear_sgd_sweep(g, p) is None
+
+
+def test_sweep_rotation_matches_full_set():
+    """Bucket rotation (phase-strided large offsets) must agree with the
+    full offset set on ordering quality: same node set, high rank
+    correlation, and deterministic."""
+    from dataclasses import replace as _r
+
+    from gfasort_tpu.bench_util import synthetic_path_index
+
+    pidx = synthetic_path_index(3000, 4, 6000, seed=3)
+    from gfasort_tpu.params import PathSGDParams
+
+    p = _r(
+        PathSGDParams().derive_from_graph(pidx),
+        dtype="float32", pow_mode="fast", iter_max=20,
+    )
+    x1 = path_linear_sgd_sweep(None, p, pidx, per_octave=2,
+                               consensus_every=8, active_frac=0.5)
+    x4 = path_linear_sgd_sweep(None, p, pidx, per_octave=2,
+                               consensus_every=8, active_frac=0.5, rotate=4)
+    assert np.isfinite(x4).all()
+    # deterministic
+    x4b = path_linear_sgd_sweep(None, p, pidx, per_octave=2,
+                                consensus_every=8, active_frac=0.5, rotate=4)
+    np.testing.assert_array_equal(x4, x4b)
+    # rank agreement with the unrotated engine
+    r1 = np.argsort(np.argsort(x1, kind="stable"), kind="stable")
+    r4 = np.argsort(np.argsort(x4, kind="stable"), kind="stable")
+    n = len(r1)
+    rho = 1 - 6 * np.sum((r1 - r4) ** 2.0) / (n * (n**2 - 1))
+    assert rho > 0.999, rho
+
+
+def test_sweep_rotation_disabled_for_small_offset_sets(lil_gfa):
+    """Tiny graphs have too few large buckets; rotate must fall back to
+    the single-phase engine and produce identical output."""
+    g = gfa.parse_gfa_numeric(lil_gfa)
+    p = replace(YgsParams.from_graph(g).path_sgd, dtype="float32",
+                pow_mode="fast")
+    assert path_sgd_sort_sweep(g, p, rotate=4) == path_sgd_sort_sweep(g, p)
