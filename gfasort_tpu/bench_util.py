@@ -124,7 +124,7 @@ def bench_batched_1d(
 def bench_sweep_1d(
     pidx: PathIndex, rounds: int = 50, repeats: int = 3,
     per_octave: int = 4, consensus_every: int = 4,
-    active_frac: Optional[float] = None,
+    active_frac: Optional[float] = None, rotate="auto",
 ) -> dict:
     """Time the gather-free offset-sweep engine (throughput mode).
 
@@ -148,7 +148,7 @@ def bench_sweep_1d(
 
     run, arrays, make_state, info = build_sweep_runner(
         pidx, p, per_octave=per_octave, consensus_every=consensus_every,
-        active_frac=frac,
+        active_frac=frac, rotate=rotate,
     )
     key = jax.random.key(p.seed)
 

@@ -20,7 +20,13 @@ from ..ops.fastpow import zeta_table
 from ..ops.schedule import eta_schedule
 from .build import load
 
-__all__ = ["available", "path_linear_sgd_native", "path_linear_sgd_layout_native", "sgd1d_bench_native"]
+__all__ = [
+    "available",
+    "path_linear_sgd_native",
+    "path_linear_sgd_layout_native",
+    "sgd1d_bench_native",
+    "layout_stress_2d_native",
+]
 
 
 def available() -> bool:
@@ -136,6 +142,32 @@ def path_linear_sgd_layout_native(
         _pf64(etas), _pf64(zetas), len(zetas),
     )
     return Layout.from_state(coords)
+
+
+def layout_stress_2d_native(
+    pidx: PathIndex,
+    xs: np.ndarray,
+    ys: np.ndarray,
+    present: np.ndarray,
+    sample_count: int,
+    seed: int = 12345,
+) -> float:
+    """Sampled 2D layout stress, bit-matching the compare_layouts tool's
+    Python loop (reference: src/bin/compare_layouts.rs:156-255).
+    ``xs``/``ys``/``present`` are indexed by SGD node index."""
+    lib = load()
+    assert lib is not None, "native library unavailable"
+    sp, sr, spos, snode, pf, pc = _prep(pidx)
+    xs = np.ascontiguousarray(xs, dtype=np.float64)
+    ys = np.ascontiguousarray(ys, dtype=np.float64)
+    present = np.ascontiguousarray(present, dtype=np.uint8)
+    return float(lib.layout_stress_2d(
+        pidx.total_steps, _p64(sp), _p64(sr), _p64(spos), _p64(snode),
+        _p64(pf), _p64(pc),
+        _pf64(xs), _pf64(ys),
+        present.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        sample_count, seed,
+    ))
 
 
 def sgd1d_bench_native(

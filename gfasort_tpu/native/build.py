@@ -164,3 +164,12 @@ def _declare(lib: ctypes.CDLL) -> None:
         u64, u64, u64, u64,
         pf64, i64,
     ]
+
+    lib.layout_stress_2d.restype = f64
+    lib.layout_stress_2d.argtypes = [
+        i64, pi64, pi64, pi64, pi64,         # steps
+        pi64, pi64,                          # paths
+        pf64, pf64,                          # xs, ys
+        ctypes.POINTER(ctypes.c_uint8),      # present
+        i64, u64,                            # sample_count, seed
+    ]

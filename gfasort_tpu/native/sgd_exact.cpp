@@ -357,4 +357,42 @@ int64_t sgd1d_bench(
     return attempts;
 }
 
+// Sampled 2D layout stress over a node coordinate map, bit-matching the
+// compare_layouts tool's Python loop (reference:
+// src/bin/compare_layouts.rs:156-255 — random step a, uniform rank b in
+// a's path, normalized squared error of euclidean vs path distance).
+// present[n] = 0 skips nodes missing from the loaded layout.
+double layout_stress_2d(
+    int64_t total_steps, const int64_t* step_path, const int64_t* step_rank,
+    const int64_t* step_pos, const int64_t* step_node,
+    const int64_t* path_first, const int64_t* path_count,
+    const double* xs, const double* ys, const uint8_t* present,
+    int64_t sample_count, uint64_t seed) {
+    Xoshiro256Plus rng(seed);
+    UniformU64 step_dist(0, (uint64_t)total_steps);
+    double stress_sum = 0.0;
+    int64_t count = 0;
+    for (int64_t s = 0; s < sample_count; s++) {
+        int64_t sa0 = (int64_t)step_dist.sample(rng);
+        int64_t p = step_path[sa0];
+        int64_t cnt = path_count[p];
+        if (cnt < 2) continue;
+        int64_t rank_a = step_rank[sa0];
+        int64_t rank_b = (int64_t)UniformU64(0, (uint64_t)cnt).sample(rng);
+        if (rank_a == rank_b) continue;
+        int64_t sa = path_first[p] + rank_a;
+        int64_t sb = path_first[p] + rank_b;
+        double path_dist = std::fabs((double)step_pos[sa] - (double)step_pos[sb]);
+        if (path_dist == 0.0) continue;
+        int64_t ia = step_node[sa];
+        int64_t ib = step_node[sb];
+        if (ia < 0 || ib < 0 || !present[ia] || !present[ib]) continue;
+        double d = std::hypot(xs[ia] - xs[ib], ys[ia] - ys[ib]);
+        double err = d - path_dist;
+        stress_sum += (err * err) / (path_dist * path_dist);
+        count++;
+    }
+    return count ? std::sqrt(stress_sum / (double)count) : 0.0;
+}
+
 }  // extern "C"

@@ -75,9 +75,9 @@ def build_sweep_runner(
     pidx: PathIndex,
     params: PathSGDParams,
     per_octave: int = 4,
-    consensus_every: int = 4,
+    consensus_every: int = 8,
     active_frac: Optional[float] = None,
-    rotate: int = 1,
+    rotate="auto",
 ):
     """Construct the jitted sweep-engine runner once.  Returns
     (run_fn, arrays, make_state, info) where
@@ -113,6 +113,10 @@ def build_sweep_runner(
     # snapped-pair distances.  Updates per sweep are unchanged (each
     # active step still proposes exactly one partner).
     n_dense = int((offs <= 8).sum())
+    if rotate == "auto":
+        # target ~8 large buckets per sweep (measured knee: fewer stops
+        # helping, more costs quality for no speed)
+        rotate = int(np.clip(round((K - n_dense) / 7.5), 1, 8))
     rotate = int(max(1, rotate))
     if rotate > 1 and (K - n_dense) < 2 * rotate:
         rotate = 1  # too few large buckets to be worth striding
@@ -324,9 +328,9 @@ def path_linear_sgd_sweep(
     params: PathSGDParams,
     pidx: Optional[PathIndex] = None,
     per_octave: int = 4,
-    consensus_every: int = 4,
+    consensus_every: int = 8,
     active_frac: Optional[float] = None,
-    rotate: int = 1,
+    rotate="auto",
     x0: Optional[np.ndarray] = None,
     return_info: bool = False,
 ):

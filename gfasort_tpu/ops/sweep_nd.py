@@ -35,8 +35,9 @@ def build_sweep_nd_runner(
     pidx: PathIndex,
     params: LayoutSGDParams,
     per_octave: int = 3,
-    consensus_every: int = 4,
+    consensus_every: int = 8,
     active_frac: Optional[float] = None,
+    rotate="auto",
 ):
     import jax
     import jax.numpy as jnp
@@ -52,6 +53,28 @@ def build_sweep_nd_runner(
     max_jump = max(1, min(int(params.space), pidx.max_path_step_count - 1))
     offs = offset_set(max_jump, per_octave)
     K = len(offs)
+
+    # bucket rotation (see ops/sweep.py): dense offsets every sweep,
+    # large offsets phase-strided — cuts the per-sweep roll passes
+    # ~(K/K_phase)x with the aggregate jump distribution unchanged
+    n_dense = int((offs <= 8).sum())
+    if rotate == "auto":
+        rotate = int(np.clip(round((K - n_dense) / 7.5), 1, 8))
+    rotate = int(max(1, rotate))
+    if rotate > 1 and (K - n_dense) < 2 * rotate:
+        rotate = 1
+    if rotate > 1:
+        phase_offsets = [
+            np.concatenate([offs[:n_dense], offs[n_dense + p :: rotate]])
+            for p in range(rotate)
+        ]
+        phase_offsets = [
+            po_ if po_[-1] == offs[-1] else np.append(po_, offs[-1])
+            for po_ in phase_offsets
+        ]
+        consensus_every = -(-consensus_every // rotate) * rotate
+    else:
+        phase_offsets = [offs]
 
     pos = jnp.asarray(pidx.step_pos, dtype=fdt)
     rank_arr = jnp.asarray(pidx.step_rank.astype(np.int32))
@@ -86,64 +109,71 @@ def build_sweep_nd_runner(
 
     from .sweep_common import make_offset_sampler
 
-    _snap, _zipf, sample_block = make_offset_sampler(offs, params, zetas, fdt)
+    def make_sweep_fn(offs_p: np.ndarray):
+        offs_p = np.asarray(offs_p)
+        Kp = len(offs_p)
+        _, _, sample_block = make_offset_sampler(offs_p, params, zetas, fdt)
 
-    def sweep(cs, key, eta, cooling, pos, rank_a, cnt_a, rev_a, len_a):
-        """cs: [S, 2, D] per-step end coordinates."""
-        k1, k2 = jax.random.split(key, 2)
-        bits = jax.random.bits(k1, (S,), jnp.uint32)
-        other_end_self = ((bits >> 29) & 1) == 1   # end coin for me
-        u = jax.random.uniform(k2, (S,), dtype=fdt)
-        sidx = sample_block(bits, u, cooling, rank_a, cnt_a, active_frac)
+        def sweep(cs, key, eta, cooling, pos, rank_a, cnt_a, rev_a, len_a):
+            """cs: [S, 2, D] per-step end coordinates."""
+            k1, k2 = jax.random.split(key, 2)
+            bits = jax.random.bits(k1, (S,), jnp.uint32)
+            other_end_self = ((bits >> 29) & 1) == 1   # end coin for me
+            u = jax.random.uniform(k2, (S,), dtype=fdt)
+            sidx = sample_block(bits, u, cooling, rank_a, cnt_a, active_frac)
 
-        # per-term end choice for EACH endpoint: the reference flips a
-        # coin per endpoint per term (rs:1060-1077).  Elementwise: my
-        # end coin is other_end_self; my bp position adjusts by my node
-        # length when I use my other end; end index = coin XOR rev.
-        my_pos = jnp.where(other_end_self, pos + len_a, pos)
-        my_end = jnp.where(other_end_self, 1 - rev_a, rev_a)
-        lane0 = (my_end == 0)[:, None]  # [S, 1]
-        # my coordinates at the chosen end: [S, D] (select, not gather)
-        my_c = jnp.where(lane0, cs[:, 0, :], cs[:, 1, :])
+            # per-term end choice for EACH endpoint: the reference flips a
+            # coin per endpoint per term (rs:1060-1077).  Elementwise: my
+            # end coin is other_end_self; my bp position adjusts by my node
+            # length when I use my other end; end index = coin XOR rev.
+            my_pos = jnp.where(other_end_self, pos + len_a, pos)
+            my_end = jnp.where(other_end_self, 1 - rev_a, rev_a)
+            lane0 = (my_end == 0)[:, None]  # [S, 1]
+            # my coordinates at the chosen end: [S, D] (select, not gather)
+            my_c = jnp.where(lane0, cs[:, 0, :], cs[:, 1, :])
 
-        acc = jnp.zeros((S, D), cs.dtype)
-        wacc = jnp.zeros((S,), cs.dtype)
-        for ki in range(K):
-            k = int(offs[ki])
+            acc = jnp.zeros((S, D), cs.dtype)
+            wacc = jnp.zeros((S,), cs.dtype)
+            for ki in range(Kp):
+                k = int(offs_p[ki])
 
-            def half(shift, w_bool):
-                pos_o = jnp.roll(my_pos, shift)
-                c_o = jnp.roll(my_c, shift, axis=0)
-                pair_ok = (
-                    rank_a - shift < cnt_a if shift < 0 else rank_a >= shift
-                )
-                d = jnp.abs(my_pos - pos_o)
-                valid = pair_ok & (d != 0) & w_bool
-                w = valid.astype(cs.dtype)
-                safe = jnp.where(valid, d, 1.0)
-                mu = jnp.minimum(eta / safe, 1.0)
-                deltas = my_c - c_o                      # [S, D]
-                mag_sq = jnp.sum(deltas * deltas, axis=-1)
-                zero = mag_sq == 0
-                deltas = deltas.at[:, 0].set(
-                    jnp.where(zero, fdt(1e-9), deltas[:, 0])
-                )
-                mag_sq = jnp.where(zero, fdt(1e-18), mag_sq)
-                mag = jnp.sqrt(mag_sq)
-                r = jnp.minimum(mu * (mag - safe) / 2.0 / mag, 1e30)
-                upd = (w * r)[:, None] * deltas          # I receive -upd
-                return -upd, w
+                def half(shift, w_bool):
+                    pos_o = jnp.roll(my_pos, shift)
+                    c_o = jnp.roll(my_c, shift, axis=0)
+                    pair_ok = (
+                        rank_a - shift < cnt_a if shift < 0 else rank_a >= shift
+                    )
+                    d = jnp.abs(my_pos - pos_o)
+                    valid = pair_ok & (d != 0) & w_bool
+                    w = valid.astype(cs.dtype)
+                    safe = jnp.where(valid, d, 1.0)
+                    mu = jnp.minimum(eta / safe, 1.0)
+                    deltas = my_c - c_o                      # [S, D]
+                    mag_sq = jnp.sum(deltas * deltas, axis=-1)
+                    zero = mag_sq == 0
+                    deltas = deltas.at[:, 0].set(
+                        jnp.where(zero, fdt(1e-9), deltas[:, 0])
+                    )
+                    mag_sq = jnp.where(zero, fdt(1e-18), mag_sq)
+                    mag = jnp.sqrt(mag_sq)
+                    r = jnp.minimum(mu * (mag - safe) / 2.0 / mag, 1e30)
+                    upd = (w * r)[:, None] * deltas          # I receive -upd
+                    return -upd, w
 
-            d1, w1 = half(-k, (sidx == ki) | (jnp.roll(sidx, -k) == ~ki))
-            d2, w2 = half(+k, (sidx == ~ki) | (jnp.roll(sidx, +k) == ki))
-            acc = acc + d1 + d2
-            wacc = wacc + w1 + w2
-        # the chosen end is fixed for the whole sweep: apply the mean
-        # update to that lane once (select, no scatter)
-        upd_mean = acc / jnp.maximum(wacc, 1)[:, None]
-        cs0 = cs[:, 0, :] + jnp.where(lane0, upd_mean, 0)
-        cs1 = cs[:, 1, :] + jnp.where(~lane0, upd_mean, 0)
-        return jnp.stack([cs0, cs1], axis=1)
+                d1, w1 = half(-k, (sidx == ki) | (jnp.roll(sidx, -k) == ~ki))
+                d2, w2 = half(+k, (sidx == ~ki) | (jnp.roll(sidx, +k) == ki))
+                acc = acc + d1 + d2
+                wacc = wacc + w1 + w2
+            # the chosen end is fixed for the whole sweep: apply the mean
+            # update to that lane once (select, no scatter)
+            upd_mean = acc / jnp.maximum(wacc, 1)[:, None]
+            cs0 = cs[:, 0, :] + jnp.where(lane0, upd_mean, 0)
+            cs1 = cs[:, 1, :] + jnp.where(~lane0, upd_mean, 0)
+            return jnp.stack([cs0, cs1], axis=1)
+
+        return sweep
+
+    sweep_fns = [make_sweep_fn(po_) for po_ in phase_offsets]
 
     def consensus(cs, node_a):
         """Mean per (node, end) over steps; orientation maps a step's
@@ -162,17 +192,31 @@ def build_sweep_nd_runner(
         # nested loops, not lax.cond (see ops/sweep_common.py rules)
         n_periods = -(-n_sweeps // consensus_every)
 
-        def inner(rr, carry):
-            p_idx, cs = carry
-            r = jnp.minimum(p_idx * consensus_every + rr, n_sweeps - 1)
-            kk = jax.random.fold_in(key, p_idx * consensus_every + rr)
-            cs = sweep(cs, kk, etas_j[r], cool_j[r], pos, rank_a, cnt_a,
-                       rev_a, len_a)
-            return (p_idx, cs)
+        if len(sweep_fns) == 1:
+            def inner(rr, carry):
+                p_idx, cs = carry
+                r = jnp.minimum(p_idx * consensus_every + rr, n_sweeps - 1)
+                kk = jax.random.fold_in(key, p_idx * consensus_every + rr)
+                cs = sweep_fns[0](cs, kk, etas_j[r], cool_j[r], pos, rank_a,
+                                  cnt_a, rev_a, len_a)
+                return (p_idx, cs)
 
-        def outer(p_idx, cs):
-            _, cs = jax.lax.fori_loop(0, consensus_every, inner, (p_idx, cs))
-            return consensus(cs, node_a)[0]
+            def outer(p_idx, cs):
+                _, cs = jax.lax.fori_loop(0, consensus_every, inner, (p_idx, cs))
+                return consensus(cs, node_a)[0]
+        else:
+            # rotation: Python-unrolled period keeps each slot's phase
+            # (and offset set) static — see ops/sweep.py
+            def outer(p_idx, cs):
+                for rr in range(consensus_every):
+                    idx = p_idx * consensus_every + rr
+                    r = jnp.minimum(idx, n_sweeps - 1)
+                    kk = jax.random.fold_in(key, idx)
+                    cs = sweep_fns[rr % len(sweep_fns)](
+                        cs, kk, etas_j[r], cool_j[r], pos, rank_a, cnt_a,
+                        rev_a, len_a
+                    )
+                return consensus(cs, node_a)[0]
 
         cs = jax.lax.fori_loop(0, n_periods, outer, cs)
         _, x_node = consensus(cs, node_a)
@@ -190,6 +234,8 @@ def build_sweep_nd_runner(
         "updates_per_sweep": updates_per_sweep,
         "active_frac": active_frac,
         "n_offsets": K,
+        "rotate": rotate,
+        "consensus_every": consensus_every,
     }
     return run, arrays, make_state, info
 
@@ -199,8 +245,9 @@ def path_linear_sgd_layout_sweep(
     params: LayoutSGDParams,
     pidx: Optional[PathIndex] = None,
     per_octave: int = 3,
-    consensus_every: int = 4,
+    consensus_every: int = 8,
     active_frac: Optional[float] = None,
+    rotate="auto",
     init_coords: Optional[np.ndarray] = None,
 ) -> Layout:
     import jax
@@ -219,7 +266,7 @@ def path_linear_sgd_layout_sweep(
         init_coords = layout_initial_coords(pidx, dims, params.seed)
 
     run, arrays, make_state, info = build_sweep_nd_runner(
-        pidx, params, per_octave, consensus_every, active_frac
+        pidx, params, per_octave, consensus_every, active_frac, rotate
     )
     cs0 = make_state(init_coords)
     x_node = run(cs0, jax.random.key(params.seed), *arrays)

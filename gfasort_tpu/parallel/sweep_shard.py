@@ -3,7 +3,7 @@
 The sweep engine (:mod:`gfasort_tpu.ops.sweep`) decomposes perfectly
 over a mesh: with path-aligned contiguous shards no term pair ever
 crosses a shard boundary (both endpoints of a pair are in one path),
-so每 device sweeps its resident shard with ZERO communication; the only
+so each device sweeps its resident shard with ZERO communication; the only
 collective is the periodic node consensus, where per-shard (sum, count)
 accumulators over the replicated node space are ``psum``-merged — a
 [N]-sized all-reduce every ``consensus_every`` sweeps, riding ICI.
@@ -61,8 +61,9 @@ def build_sharded_sweep(
     params: PathSGDParams,
     mesh,
     per_octave: int = 3,
-    consensus_every: int = 4,
+    consensus_every: int = 8,
     active_frac: Optional[float] = None,
+    rotate="auto",
 ):
     """Returns (run, placed_arrays, make_state, info); run(xs_sh,
     x_node0, key, *arrays) executes the full schedule under shard_map."""
@@ -84,6 +85,27 @@ def build_sharded_sweep(
     max_jump = max(1, min(int(params.space), pidx.max_path_step_count - 1))
     offs = offset_set(max_jump, per_octave)
     K = len(offs)
+
+    # bucket rotation (see ops/sweep.py): dense offsets every sweep,
+    # large offsets phase-strided per sweep
+    n_dense = int((offs <= 8).sum())
+    if rotate == "auto":
+        rotate = int(np.clip(round((K - n_dense) / 7.5), 1, 8))
+    rotate = int(max(1, rotate))
+    if rotate > 1 and (K - n_dense) < 2 * rotate:
+        rotate = 1
+    if rotate > 1:
+        phase_offsets = [
+            np.concatenate([offs[:n_dense], offs[n_dense + p :: rotate]])
+            for p in range(rotate)
+        ]
+        phase_offsets = [
+            po_ if po_[-1] == offs[-1] else np.append(po_, offs[-1])
+            for po_ in phase_offsets
+        ]
+        consensus_every = -(-consensus_every // rotate) * rotate
+    else:
+        phase_offsets = [offs]
 
     if active_frac is None:
         active_frac = float(np.clip(N / max(S, 1), 1.0 / 16.0, 1.0))
@@ -109,40 +131,47 @@ def build_sharded_sweep(
 
     from ..ops.sweep_common import make_offset_sampler
 
-    _snap, _zipf, sample_block = make_offset_sampler(offs, params, zetas, fdt)
+    def make_local_sweep(offs_p: np.ndarray):
+        offs_p = np.asarray(offs_p)
+        Kp = len(offs_p)
+        _, _, sample_block = make_offset_sampler(offs_p, params, zetas, fdt)
 
-    def local_sweep(xs, key, eta, cooling, pos, rank_a, cnt_a):
-        bits = jax.random.bits(key, (L,), jnp.uint32)
-        u = jax.random.uniform(jax.random.fold_in(key, 1), (L,), dtype=fdt)
-        sidx = sample_block(bits, u, cooling, rank_a, cnt_a, active_frac)
+        def local_sweep(xs, key, eta, cooling, pos, rank_a, cnt_a):
+            bits = jax.random.bits(key, (L,), jnp.uint32)
+            u = jax.random.uniform(jax.random.fold_in(key, 1), (L,), dtype=fdt)
+            sidx = sample_block(bits, u, cooling, rank_a, cnt_a, active_frac)
 
-        dsum = jnp.zeros_like(xs)
-        csum = jnp.zeros_like(xs)
-        for ki in range(K):
-            k = int(offs[ki])
+            dsum = jnp.zeros_like(xs)
+            csum = jnp.zeros_like(xs)
+            for ki in range(Kp):
+                k = int(offs_p[ki])
 
-            def half(shift, w_bool):
-                pos_o = jnp.roll(pos, shift)
-                xs_o = jnp.roll(xs, shift)
-                pair_ok = (
-                    rank_a - shift < cnt_a if shift < 0 else rank_a >= shift
-                )
-                d = jnp.abs(pos - pos_o)
-                valid = pair_ok & (d != 0) & w_bool
-                w = valid.astype(xs.dtype)
-                safe = jnp.where(valid, d, 1.0)
-                mu = jnp.minimum(eta / safe, 1.0)
-                dx = xs - xs_o
-                dx = jnp.where(dx == 0, fdt(1e-9), dx)
-                mag = jnp.abs(dx)
-                r_x = (mu * (mag - safe) / 2.0 / mag) * dx
-                return -w * r_x, w
+                def half(shift, w_bool):
+                    pos_o = jnp.roll(pos, shift)
+                    xs_o = jnp.roll(xs, shift)
+                    pair_ok = (
+                        rank_a - shift < cnt_a if shift < 0 else rank_a >= shift
+                    )
+                    d = jnp.abs(pos - pos_o)
+                    valid = pair_ok & (d != 0) & w_bool
+                    w = valid.astype(xs.dtype)
+                    safe = jnp.where(valid, d, 1.0)
+                    mu = jnp.minimum(eta / safe, 1.0)
+                    dx = xs - xs_o
+                    dx = jnp.where(dx == 0, fdt(1e-9), dx)
+                    mag = jnp.abs(dx)
+                    r_x = (mu * (mag - safe) / 2.0 / mag) * dx
+                    return -w * r_x, w
 
-            d1, w1 = half(-k, (sidx == ki) | (jnp.roll(sidx, -k) == ~ki))
-            d2, w2 = half(+k, (sidx == ~ki) | (jnp.roll(sidx, +k) == ki))
-            dsum = dsum + d1 + d2
-            csum = csum + w1 + w2
-        return xs + dsum / jnp.maximum(csum, 1)
+                d1, w1 = half(-k, (sidx == ki) | (jnp.roll(sidx, -k) == ~ki))
+                d2, w2 = half(+k, (sidx == ~ki) | (jnp.roll(sidx, +k) == ki))
+                dsum = dsum + d1 + d2
+                csum = csum + w1 + w2
+            return xs + dsum / jnp.maximum(csum, 1)
+
+        return local_sweep
+
+    sweep_fns = [make_local_sweep(po_) for po_ in phase_offsets]
 
     def consensus(xs, node_a, w_a):
         """psum-merged scatter-mean over the replicated node space."""
@@ -166,16 +195,29 @@ def build_sharded_sweep(
         # every iteration — see ops/sweep_common.py rules)
         n_periods = -(-n_sweeps // consensus_every)
 
-        def inner(rr, carry):
-            p_idx, xs = carry
-            r = jnp.minimum(p_idx * consensus_every + rr, n_sweeps - 1)
-            key = jax.random.fold_in(base, p_idx * consensus_every + rr)
-            xs = local_sweep(xs, key, etas_j[r], cool_j[r], pos, rank_a, cnt_a)
-            return (p_idx, xs)
+        if len(sweep_fns) == 1:
+            def inner(rr, carry):
+                p_idx, xs = carry
+                r = jnp.minimum(p_idx * consensus_every + rr, n_sweeps - 1)
+                key = jax.random.fold_in(base, p_idx * consensus_every + rr)
+                xs = sweep_fns[0](xs, key, etas_j[r], cool_j[r], pos, rank_a, cnt_a)
+                return (p_idx, xs)
 
-        def outer(p_idx, xs):
-            _, xs = jax.lax.fori_loop(0, consensus_every, inner, (p_idx, xs))
-            return consensus(xs, node_a, w_a)[0]
+            def outer(p_idx, xs):
+                _, xs = jax.lax.fori_loop(0, consensus_every, inner, (p_idx, xs))
+                return consensus(xs, node_a, w_a)[0]
+        else:
+            # rotation: Python-unrolled period keeps each slot's phase
+            # (and offset set) static — see ops/sweep.py
+            def outer(p_idx, xs):
+                for rr in range(consensus_every):
+                    idx = p_idx * consensus_every + rr
+                    r = jnp.minimum(idx, n_sweeps - 1)
+                    key = jax.random.fold_in(base, idx)
+                    xs = sweep_fns[rr % len(sweep_fns)](
+                        xs, key, etas_j[r], cool_j[r], pos, rank_a, cnt_a
+                    )
+                return consensus(xs, node_a, w_a)[0]
 
         xs = jax.lax.fori_loop(0, n_periods, outer, xs)
         _, x_node, scnt = consensus(xs, node_a, w_a)
@@ -212,7 +254,8 @@ def build_sharded_sweep(
         )
 
     info = {"n_sweeps": n_sweeps, "updates_per_sweep": updates_per_sweep,
-            "active_frac": active_frac, "n_offsets": K, "shard_len": L}
+            "active_frac": active_frac, "n_offsets": K, "shard_len": L,
+            "rotate": rotate, "consensus_every": consensus_every}
     return run, arrays, make_state, info
 
 

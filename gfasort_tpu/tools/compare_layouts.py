@@ -46,11 +46,37 @@ def load_odgi_layout(path: str) -> Dict[int, Tuple[float, float]]:
 
 
 def calculate_stress(graph, layout: Dict[int, Tuple[float, float]],
-                     sample_count: int) -> float:
-    """Sampled normalized stress over a coordinate map (:156-255)."""
-    pidx = PathIndex.from_graph(graph)
+                     sample_count: int, pidx: PathIndex | None = None) -> float:
+    """Sampled normalized stress over a coordinate map (:156-255).
+    Dispatches to the C++ oracle when available (bit-identical RNG
+    stream; ~1000x the pure-Python loop on 100k samples)."""
+    pidx = pidx or PathIndex.from_graph(graph)
     if pidx.total_steps < 2:
         return 0.0
+
+    from ..native import available, layout_stress_2d_native
+
+    if available():
+        import numpy as np
+
+        n = pidx.num_nodes
+        xs = np.zeros(n)
+        ys = np.zeros(n)
+        present = np.zeros(n, np.uint8)
+        for idx, (x, y) in layout.items():
+            if 0 <= idx < n:
+                xs[idx] = x
+                ys[idx] = y
+                present[idx] = 1
+        return layout_stress_2d_native(pidx, xs, ys, present, sample_count)
+
+    return calculate_stress_py(pidx, layout, sample_count)
+
+
+def calculate_stress_py(pidx: PathIndex, layout: Dict[int, Tuple[float, float]],
+                        sample_count: int) -> float:
+    """Pure-Python stress loop (bit-parity reference for the native
+    path; ~1000x slower at 100k samples)."""
     rng = Xoshiro256Plus(12345)
     step_dist = UniformInt(0, pidx.total_steps)
     stress_sum = 0.0

@@ -271,3 +271,31 @@ def test_compare_layouts_tool(lil_gfa, tmp_path):
     od = load_odgi_layout(str(odgi))
     assert len(od) == 15
     assert calculate_stress(g, od, 5000) == pytest.approx(s)
+
+
+def test_stress_native_matches_python(lil_gfa):
+    """The C++ layout_stress_2d must reproduce the Python loop's RNG
+    stream and arithmetic bit-for-bit."""
+    pytest.importorskip("gfasort_tpu.native")
+    from gfasort_tpu.native import available, layout_stress_2d_native
+    from gfasort_tpu.tools.compare_layouts import calculate_stress_py
+
+    if not available():
+        pytest.skip("native lib unavailable")
+    import numpy as np
+
+    from gfasort_tpu import PathIndex
+    from gfasort_tpu.io import gfa as gfa_io
+
+    g = gfa_io.parse_gfa_numeric(lil_gfa)
+    pidx = PathIndex.from_graph(g)
+    rng = np.random.default_rng(5)
+    n = pidx.num_nodes
+    xs = rng.normal(size=n) * 50
+    ys = rng.normal(size=n) * 50
+    present = np.ones(n, np.uint8)
+    present[::5] = 0  # some nodes missing from the layout
+    layout = {i: (xs[i], ys[i]) for i in range(n) if present[i]}
+    s_py = calculate_stress_py(pidx, layout, 4000)
+    s_cc = layout_stress_2d_native(pidx, xs, ys, present, 4000)
+    assert s_cc == s_py
