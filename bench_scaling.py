@@ -26,8 +26,15 @@ def main() -> int:
 
     import numpy as np
 
+    import os
+
     import jax
 
+    # sitecustomize force-selects the axon tunnel via jax.config (env
+    # alone doesn't override it); honor an explicit cpu request so the
+    # virtual-mesh validation mode is reachable
+    if "cpu" in os.environ.get("JAX_PLATFORMS", "").lower():
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
@@ -47,7 +54,7 @@ def main() -> int:
         seed=0,
     )
     rounds = 16
-    frac = 0.5
+    frac = 0.8
     ups = max(1, int(pidx.total_steps * frac))
     p = replace(
         bench_params(pidx, 1, 1), iter_max=rounds - 1, min_term_updates=ups
@@ -62,7 +69,7 @@ def main() -> int:
     for nd in sizes:
         mesh = default_mesh(nd)
         run, arrays, make_state, info = build_sharded_sweep(
-            pidx, p, mesh, per_octave=2, consensus_every=8, active_frac=frac
+            pidx, p, mesh, per_octave=2, consensus_every=16, active_frac=frac, rotate=8
         )
         key = jax.random.key(0)
         xs0, xn0 = make_state()

@@ -173,17 +173,25 @@ def build_sharded_sweep(
 
     sweep_fns = [make_local_sweep(po_) for po_ in phase_offsets]
 
-    def consensus(xs, node_a, w_a):
+    # per-node step counts are static (the shard->node map never
+    # changes): the count scatter AND its psum are hoisted to the host,
+    # leaving one scatter-add + one [N] psum per consensus (same
+    # optimization as the single-chip engine)
+    live_nodes = node_np[node_np >= 0]
+    cnt_total = np.bincount(live_nodes.astype(np.int64), minlength=N)
+    inv_cnt_np = (1.0 / np.maximum(cnt_total, 1)).astype(dtype)
+    has_steps_np = cnt_total > 0
+
+    def consensus(xs, node_a, w_a, inv_cnt_a):
         """psum-merged scatter-mean over the replicated node space."""
         idx = jnp.maximum(node_a, 0)
         ssum = jnp.zeros(N, xs.dtype).at[idx].add(xs * w_a)
-        scnt = jnp.zeros(N, xs.dtype).at[idx].add(w_a)
         ssum = jax.lax.psum(ssum, axis)
-        scnt = jax.lax.psum(scnt, axis)
-        x_node = ssum / jnp.maximum(scnt, 1)
-        return jnp.where(w_a > 0, x_node[idx], xs), x_node, scnt
+        x_node = ssum * inv_cnt_a
+        return jnp.where(w_a > 0, x_node[idx], xs), x_node
 
-    def device_run(xs, x_node_init, base_key, pos, rank_a, cnt_a, node_a):
+    def device_run(xs, x_node_init, base_key, pos, rank_a, cnt_a, node_a,
+                   inv_cnt_a, has_steps_a):
         xs, pos, rank_a, cnt_a, node_a = (
             xs[0], pos[0], rank_a[0], cnt_a[0], node_a[0]
         )
@@ -205,7 +213,7 @@ def build_sharded_sweep(
 
             def outer(p_idx, xs):
                 _, xs = jax.lax.fori_loop(0, consensus_every, inner, (p_idx, xs))
-                return consensus(xs, node_a, w_a)[0]
+                return consensus(xs, node_a, w_a, inv_cnt_a)[0]
         else:
             # rotation: Python-unrolled period keeps each slot's phase
             # (and offset set) static — see ops/sweep.py
@@ -217,11 +225,11 @@ def build_sharded_sweep(
                     xs = sweep_fns[rr % len(sweep_fns)](
                         xs, key, etas_j[r], cool_j[r], pos, rank_a, cnt_a
                     )
-                return consensus(xs, node_a, w_a)[0]
+                return consensus(xs, node_a, w_a, inv_cnt_a)[0]
 
         xs = jax.lax.fori_loop(0, n_periods, outer, xs)
-        _, x_node, scnt = consensus(xs, node_a, w_a)
-        return jnp.where(scnt > 0, x_node, x_node_init)
+        _, x_node = consensus(xs, node_a, w_a, inv_cnt_a)
+        return jnp.where(has_steps_a, x_node, x_node_init)
 
     shard = NamedSharding(mesh, P(axis))
     repl = NamedSharding(mesh, P())
@@ -230,7 +238,8 @@ def build_sharded_sweep(
         shard_map(
             device_run,
             mesh=mesh,
-            in_specs=(P(axis), P(), P(), P(axis), P(axis), P(axis), P(axis)),
+            in_specs=(P(axis), P(), P(), P(axis), P(axis), P(axis), P(axis),
+                      P(), P()),
             out_specs=P(),
         ),
         donate_argnums=(0,),
@@ -239,6 +248,9 @@ def build_sharded_sweep(
     arrays = tuple(
         jax.device_put(jnp.asarray(a), shard)
         for a in (pos_np, rank_np, cnt_np, node_np)
+    ) + (
+        jax.device_put(jnp.asarray(inv_cnt_np), repl),
+        jax.device_put(jnp.asarray(has_steps_np), repl),
     )
 
     def make_state(x0=None):
