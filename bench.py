@@ -22,7 +22,9 @@ N_NODES = int(os.environ.get("BENCH_NODES", 1_000_000))
 N_PATHS = int(os.environ.get("BENCH_PATHS", 16))
 STEPS = int(os.environ.get("BENCH_STEPS_PER_PATH", 250_000))
 BATCH = int(os.environ.get("BENCH_BATCH", 262_144))
-ROUNDS = int(os.environ.get("BENCH_ROUNDS", 48))
+# 96 rounds ~= 1s of device time: long enough that the tunnel's fixed
+# per-dispatch latency (~150 ms) stops distorting the steady-state rate
+ROUNDS = int(os.environ.get("BENCH_ROUNDS", 96))
 
 
 def main() -> int:

@@ -1,0 +1,150 @@
+"""Gather-sum node consensus: scatter-free per-node means.
+
+The sweep engines' node consensus (average all steps of a node, write
+the mean back to each step) is the only random-access op in the hot
+loop.  A plain scatter-mean + gather costs ~60 ms at S=4M on TPU v5e —
+XLA's scatter-add serializes colliding rows at ~8 ns/row, while gathers
+stream at ~2.4 ns/row.
+
+This module removes the scatter entirely.  The step->node map is
+static, so each node's occurrence list is known at build time: group
+live nodes into power-of-two degree classes (1, 2, 4, ..., cap), pad
+each node's occurrence list to its class width with a sentinel index
+pointing at an appended zero slot, and compute
+
+    sum[node] = gather(xs_ext, occ[node, :width]).sum(axis=1)
+
+— collision-free gathers, one per class (6-8 classes in practice).
+Node state lives in DEGREE-SORTED order between consensuses; the
+step->slot map is statically pre-permuted so the write-back is a single
+[S] gather, and the conversion to original node order happens once at
+the end of the run.  Measured 21 ms vs 60 ms for scatter-mean at S=4M
+(padded rows ~1.27x S on the bench workload).
+
+Nodes with degree > cap (rare) fall back to a small element scatter.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+__all__ = ["GatherConsensus", "build_gather_consensus"]
+
+
+@dataclass
+class GatherConsensus:
+    fn: object            # (xs, *arrays) -> (xs_new [S], xn_sorted [NL])
+    arrays: tuple         # jit-argument arrays (class idx tables, maps)
+    n_classes: int
+    n_sorted: int         # NL = number of live nodes (+ big nodes)
+    padded_rows: int
+    to_node_order: object  # (xn_sorted, x_node_init [N]) -> x_node [N]
+
+
+def build_gather_consensus(
+    step_node: np.ndarray,   # [S] node index per step (>= 0)
+    n_nodes: int,
+    dtype=np.float32,
+    cap: int = 128,
+):
+    """Build the gather-sum consensus for a static step->node map."""
+    import jax.numpy as jnp
+
+    step_node = np.asarray(step_node, dtype=np.int64)
+    S = int(step_node.shape[0])
+    N = int(n_nodes)
+
+    cnt = np.bincount(step_node, minlength=N)
+    order = np.argsort(step_node, kind="stable")
+    live = np.flatnonzero(cnt > 0)
+    deg_live = cnt[live]
+    starts = np.concatenate([[0], np.cumsum(cnt)])[live]
+
+    widths = []
+    w = 1
+    while w < cap:
+        widths.append(w)
+        w *= 2
+    widths.append(cap)
+
+    class_sel = []        # positions within `live`
+    class_idx = []        # [n_d, width] step indices, sentinel = S
+    padded_rows = 0
+    lo = 1
+    for w in widths:
+        sel = np.flatnonzero((deg_live >= lo) & (deg_live <= w))
+        lo = w + 1
+        if len(sel) == 0:
+            continue
+        idx = np.full((len(sel), w), S, np.int64)
+        st = starts[sel]
+        dg = deg_live[sel]
+        for j in range(w):
+            m = dg > j
+            idx[m, j] = order[st[m] + j]
+        class_sel.append(sel)
+        class_idx.append(idx)
+        padded_rows += idx.size
+
+    big_sel = np.flatnonzero(deg_live > cap)
+
+    sorted_nodes = np.concatenate(
+        [live[s] for s in class_sel]
+        + ([live[big_sel]] if len(big_sel) else [])
+    )
+    NL = len(sorted_nodes)
+    pos_of_node = np.full(N, -1, np.int64)
+    pos_of_node[sorted_nodes] = np.arange(NL)
+
+    # step -> degree-sorted node slot (statically pre-permuted)
+    node_slot = jnp.asarray(pos_of_node[step_node].astype(np.int32))
+    inv_cnt_sorted = jnp.asarray(
+        (1.0 / np.maximum(cnt[sorted_nodes], 1)).astype(dtype)
+    )
+    idx_arrays = tuple(jnp.asarray(ix.astype(np.int32)) for ix in class_idx)
+
+    if len(big_sel):
+        big_steps = np.concatenate(
+            [order[starts[b] : starts[b] + deg_live[b]] for b in big_sel]
+        )
+        big_slot_j = jnp.asarray(pos_of_node[step_node[big_steps]].astype(np.int32))
+        big_steps_j = jnp.asarray(big_steps.astype(np.int32))
+        n_small = NL - len(big_sel)
+
+    # everything [S]- or [N]-sized is a jit ARGUMENT, never a closure
+    # constant (multi-MB baked constants have crashed the remote-compile
+    # client; see ops/sweep.py)
+    pos_clamped = jnp.asarray(np.maximum(pos_of_node, 0).astype(np.int32))
+    has_steps = jnp.asarray(cnt > 0)
+    arrays = idx_arrays + (node_slot, inv_cnt_sorted, pos_clamped, has_steps)
+    n_classes = len(idx_arrays)
+
+    def fn(xs, *a):
+        """xs [S] -> (xs_new [S], xn_sorted [NL] per-node means)."""
+        idxs = a[:n_classes]
+        slot = a[n_classes]
+        inv = a[n_classes + 1]
+        x_ext = jnp.concatenate([xs, jnp.zeros(1, xs.dtype)])
+        parts = [x_ext[ix].sum(axis=1) for ix in idxs]
+        if len(big_sel):
+            big = jnp.zeros(len(big_sel), xs.dtype).at[
+                big_slot_j - n_small
+            ].add(xs[big_steps_j])
+            parts.append(big)
+        xn = jnp.concatenate(parts) * inv
+        return xn[slot], xn
+
+    def to_node_order(xn_sorted, x_node_init, *a):
+        """xn_sorted [NL] -> x_node [N] (once, at the end of a run);
+        step-less nodes keep their initial positions (reference:
+        untouched x entries, src/sgd.rs:264-294)."""
+        pos_c = a[n_classes + 2]
+        has = a[n_classes + 3]
+        return jnp.where(has, xn_sorted[pos_c], x_node_init)
+
+    return GatherConsensus(
+        fn=fn, arrays=arrays, n_classes=n_classes, n_sorted=NL,
+        padded_rows=padded_rows, to_node_order=to_node_order,
+    )

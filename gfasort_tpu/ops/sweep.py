@@ -141,10 +141,8 @@ def build_sweep_runner(
 
     # ---- static device arrays (elementwise residents, no gathers) ----
     pos = jnp.asarray(pidx.step_pos, dtype=fdt)
-    path_arr = jnp.asarray(pidx.step_path.astype(np.int32))
     rank_arr = jnp.asarray(pidx.step_rank.astype(np.int32))
     cnt_arr = jnp.asarray(pidx.step_count_of_step.astype(np.int32))
-    node_arr = jnp.asarray(pidx.step_node_idx.astype(np.int32))
 
     # Active fraction per sweep: full-width (Jacobi) rounds measurably
     # hurt fine-scale quality — every node receives the MEAN of ~S/N
@@ -236,36 +234,25 @@ def build_sweep_runner(
 
     sweep_fns = [make_sweep_fn(po_) for po_ in phase_offsets]
 
-    # Per-node step counts are static (the node map never changes), so
-    # the count scatter is hoisted out of the loop entirely: consensus
-    # is one scatter-add + one gather, and the divide becomes a
-    # precomputed reciprocal (saves ~40 ms per consensus at S=4M).
-    node_cnt_host = np.bincount(
-        pidx.step_node_idx.astype(np.int64), minlength=N
-    ).astype(dtype)
-    inv_cnt = jnp.asarray(
-        1.0 / np.maximum(node_cnt_host, 1.0), dtype=fdt
-    )
-    has_steps = jnp.asarray(node_cnt_host > 0)
+    # Node consensus: scatter-free gather-sum over static power-of-two
+    # degree classes (ops/node_sum.py) — 21 ms vs 60 ms for the old
+    # scatter-mean at S=4M.  Node state lives in degree-sorted order
+    # between consensuses; conversion to original node order happens
+    # once at the end of the run.
+    from .node_sum import build_gather_consensus
 
-    def consensus(xs, node_arr):
-        """Average step positions per node, write back (scatter-mean +
-        gather — the only random access, amortized)."""
-        ssum = jnp.zeros(N, xs.dtype).at[node_arr].add(xs)
-        x_node = ssum * inv_cnt
-        return x_node[node_arr], x_node
+    gc = build_gather_consensus(pidx.step_node_idx, N, dtype)
+    n_cons = len(gc.arrays)
 
     # NOTE: the big static arrays are ARGUMENTS, not closures — XLA
     # constant-folds rolls of closed-over constants into the executable
-    # (K rolled copies of each array => multi-GB programs).
-    # node_arr is passed as an ARGUMENT (not a closure constant): a
-    # baked [S] constant makes every distinct graph ordering a fresh
-    # multi-minute tunnel compile, and multi-MB-constant programs have
-    # crashed the axon client.  Cost: ~68 ms scatter staging per
-    # consensus (measured), ~7% of headline throughput.
+    # (K rolled copies of each array => multi-GB programs), a baked [S]
+    # constant makes every distinct graph ordering a fresh multi-minute
+    # tunnel compile, and multi-MB-constant programs have crashed the
+    # axon client.
 
     @partial(jax.jit, donate_argnums=(0,))
-    def run(xs, x_node_init, base_key, pos, rank_a, cnt_a, node_a):
+    def run(xs, x_node_init, base_key, pos, rank_a, cnt_a, *cons):
         # Nested loops, NOT lax.cond: a conditional inside the loop
         # forces per-iteration copies of every captured operand
         # (profiled at ~26 ms per s32[S]/pred[S] array per sweep);
@@ -285,7 +272,7 @@ def build_sweep_runner(
 
             def outer(p_idx, xs):
                 _, xs = jax.lax.fori_loop(0, consensus_every, inner, (p_idx, xs))
-                return consensus(xs, node_a)[0]
+                return gc.fn(xs, *cons)[0]
         else:
             # bucket rotation: the inner period is unrolled in Python so
             # each sweep's phase — and therefore its offset set — stays
@@ -299,15 +286,15 @@ def build_sweep_runner(
                     xs = sweep_fns[rr % len(sweep_fns)](
                         xs, key, etas_j[r], cool_j[r], pos, rank_a, cnt_a
                     )
-                return consensus(xs, node_a)[0]
+                return gc.fn(xs, *cons)[0]
 
         xs = jax.lax.fori_loop(0, n_periods, outer, xs)
-        _, x_node = consensus(xs, node_a)
+        _, xn_sorted = gc.fn(xs, *cons)
         # nodes with no path steps keep their initial positions
         # (reference: untouched x entries, src/sgd.rs:264-294)
-        return jnp.where(has_steps, x_node, x_node_init)
+        return gc.to_node_order(xn_sorted, x_node_init, *cons)
 
-    arrays = (pos, rank_arr, cnt_arr, node_arr)
+    arrays = (pos, rank_arr, cnt_arr) + gc.arrays
 
     def make_state(x0=None):
         x_node0 = np.asarray(
