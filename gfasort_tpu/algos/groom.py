@@ -164,18 +164,20 @@ def groom_with_mode(
 
     # Multi-component loop.  The reference compares against the raw node
     # Vec length (including None slots); structurally this is "repeat
-    # until no unvisited live node remains" (:136-174).
+    # until no unvisited live node remains" (:136-174).  The fresh-seed
+    # scan resumes from a persistent cursor: `live` is sorted and
+    # `visited` only grows, so the first unvisited id is monotone — same
+    # seed sequence as the reference's from-scratch rescan (:150-158)
+    # without the quadratic component blowup.
     live_set = set(live)
+    scan = 0
     while len(visited) < len(live_set) or current_seeds:
         if not current_seeds:
-            nxt_seed = None
-            for nid in live:
-                if nid not in visited:
-                    nxt_seed = H.forward(nid)
-                    break
-            if nxt_seed is None:
+            while scan < len(live) and live[scan] in visited:
+                scan += 1
+            if scan == len(live):
                 break
-            current_seeds = [nxt_seed]
+            current_seeds = [H.forward(live[scan])]
         if use_coverage_dfs:
             _coverage_dfs(adj, current_seeds, visited, flipped, coverage)
         elif use_bfs:

@@ -58,8 +58,26 @@ def priority_topological_order(
         unvisited.add(H.forward(nid))
         unvisited.add(H.reverse(nid))
 
-    seeds: List[int] = []
+    # Seeds heap keyed (rank, is_reverse, insertion seq): the reference
+    # stable-sorts by (rank, is_reverse) and removes the front
+    # (:1586-1590), so ties resolve by insertion order — the seq field
+    # reproduces that in O(log n) per op.
+    seeds: List = []
+    seeds_seq = 0
     seeds_set = set()
+
+    # Lazy-deletion heap for the fallback min-rank unvisited handle.
+    # The reference takes min_by_key((rank, is_reverse)) over a HashSet
+    # (:1604-1610) — tie-break there is hash-iteration order, i.e.
+    # nondeterministic; breaking ties by node id is deterministic and
+    # agrees whenever the reference is itself well-defined.
+    unvisited_heap: List = [
+        (rank.get(nid, max_rank), rev, nid)
+        for nid in live
+        for rev in (0, 1)
+    ]
+    heapq.heapify(unvisited_heap)
+
     masked = [False] * adj.n_edges
     in_count: Dict[int, int] = {h: len(lst) for h, lst in in_lists.items()}
 
@@ -94,17 +112,18 @@ def priority_topological_order(
             if seeds:
                 # Lowest-rank seed first (:1586-1601); one removal per
                 # attempt, used or not.
-                seeds.sort(key=lambda h: (rank.get(H.node_id(h), max_rank), H.is_reverse(h)))
-                h = seeds.pop(0)
+                _, _, _, h = heapq.heappop(seeds)
                 seeds_set.discard(h)
                 if h in unvisited:
                     enqueue(h)
                     found_seed = True
             if not found_seed and not s and unvisited:
-                h = min(
-                    unvisited,
-                    key=lambda x: (rank.get(H.node_id(x), max_rank), H.is_reverse(x)),
-                )
+                while True:
+                    _, rev, nid = unvisited_heap[0]
+                    h = H.encode(nid, rev)
+                    if h in unvisited:
+                        break
+                    heapq.heappop(unvisited_heap)
                 enqueue(h)
 
         while s:
@@ -129,7 +148,12 @@ def priority_topological_order(
                     if in_count.get(nxt, 0) == 0:
                         enqueue(nxt)
                     elif nxt not in seeds_set:
-                        seeds.append(nxt)
+                        heapq.heappush(
+                            seeds,
+                            (rank.get(H.node_id(nxt), max_rank),
+                             H.is_reverse(nxt), seeds_seq, nxt),
+                        )
+                        seeds_seq += 1
                         seeds_set.add(nxt)
 
     # Post-pass: reverse output if majority-against priority order

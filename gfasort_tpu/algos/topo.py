@@ -112,8 +112,19 @@ def exact_odgi_topological_order(
         unvisited.add(H.forward(nid))
         unvisited.add(H.reverse(nid))
 
+    # Seeds consumed min-first (the reference re-sorts and pops the
+    # front each time, :1296-1315) — a heap yields the same order in
+    # O(log n) per op.
     seeds: List[int] = []
     seeds_set = set()
+
+    # Lazy-deletion heap mirroring `min(unvisited)` (:1320-1334): live
+    # ids are sorted, so interleaving fwd/rev handles is already a valid
+    # heap; entries are skipped once no longer unvisited.
+    unvisited_heap: List[int] = []
+    for nid in live:
+        unvisited_heap.append(H.forward(nid))
+        unvisited_heap.append(H.reverse(nid))
 
     masked = [False] * adj.n_edges
     # Unmasked-incoming count per handle (replaces the per-check rescan).
@@ -148,14 +159,15 @@ def exact_odgi_topological_order(
             # Consume seeds in (node_id, orientation) order until one is
             # still unvisited (:1296-1315).
             while seeds and not s:
-                seeds.sort()
-                h = seeds.pop(0)
+                h = heapq.heappop(seeds)
                 seeds_set.discard(h)
                 if h in unvisited:
                     enqueue(h)
             # Fallback: minimum unvisited handle (:1320-1334).
             if not s and unvisited:
-                enqueue(min(unvisited))
+                while unvisited_heap[0] not in unvisited:
+                    heapq.heappop(unvisited_heap)
+                enqueue(unvisited_heap[0])
 
         while s:
             handle = heapq.heappop(s)
@@ -187,7 +199,7 @@ def exact_odgi_topological_order(
                     if in_count.get(nxt, 0) == 0:
                         enqueue(nxt)
                     elif nxt not in seeds_set:
-                        seeds.append(nxt)
+                        heapq.heappush(seeds, nxt)
                         seeds_set.add(nxt)
 
     return sorted_out
