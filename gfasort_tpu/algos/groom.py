@@ -149,6 +149,13 @@ def groom_with_mode(
 ) -> List[int]:
     """Compute groomed handle order (src/groom.rs:56-198).  Returns the
     live nodes in sorted-id order, each with its chosen orientation."""
+    if not use_coverage_dfs and len(graph.edges) >= 2048:
+        from .native_dispatch import native_groom
+
+        out = native_groom(graph, use_bfs)
+        if out is not None:
+            return out
+
     adj = AdjacencyIndex(graph)
     coverage = count_edge_coverage(graph) if use_coverage_dfs else {}
 

@@ -1,0 +1,92 @@
+"""Dispatch host graph passes to the native (C++) implementations.
+
+The Python implementations in :mod:`gfasort_tpu.algos` are the semantic
+definition (validated against naive transcriptions of the reference);
+``graph_algos.cpp`` is a bit-identical port used for large graphs, where
+the Python BFS/Kahn loops cost seconds per million nodes.  Randomized
+equivalence tests (tests/test_algos.py) pin C++ == Python.
+"""
+
+from __future__ import annotations
+
+import ctypes
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+__all__ = ["graph_arrays", "native_topo", "native_groom", "NATIVE_MIN_EDGES"]
+
+# Below this, Python is fast enough and array marshalling dominates.
+NATIVE_MIN_EDGES = 2048
+
+
+def _p64(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def graph_arrays(graph) -> Tuple[np.ndarray, ...]:
+    """(e_from, e_to, live_ids, steps, path_off) as contiguous int64."""
+    n_e = len(graph.edges)
+    ef = np.empty(n_e, dtype=np.int64)
+    et = np.empty(n_e, dtype=np.int64)
+    for i, (f, t) in enumerate(graph.edges):
+        ef[i] = f
+        et[i] = t
+    live = np.asarray(graph.live_node_ids(), dtype=np.int64)
+    parts = [p.steps for p in graph.paths if len(p)]
+    steps = (
+        np.ascontiguousarray(np.concatenate(parts), dtype=np.int64)
+        if parts
+        else np.zeros(0, np.int64)
+    )
+    counts = [len(p) for p in graph.paths if len(p)]
+    path_off = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    return ef, et, live, steps, path_off
+
+
+def _lib():
+    from ..native.build import load
+
+    return load()
+
+
+def native_topo(graph, use_heads: bool, use_tails: bool) -> Optional[List[int]]:
+    """Native exact-ODGI topo order, or None if unavailable."""
+    lib = _lib()
+    if lib is None:
+        return None
+    ef, et, live, steps, path_off = graph_arrays(graph)
+    if len(live) == 0:
+        return []
+    out = np.empty(len(live), dtype=np.int64)
+    n = lib.topo_exact_order(
+        len(ef), _p64(ef), _p64(et),
+        len(live), _p64(live), int(live.max()),
+        len(steps), _p64(steps), len(path_off) - 1, _p64(path_off),
+        int(use_heads), int(use_tails),
+        _p64(out),
+    )
+    if n < 0:
+        return None
+    return out[:n].tolist()
+
+
+def native_groom(graph, use_bfs: bool) -> Optional[List[int]]:
+    """Native groom order (BFS/DFS modes), or None if unavailable."""
+    lib = _lib()
+    if lib is None:
+        return None
+    ef, et, live, steps, path_off = graph_arrays(graph)
+    if len(live) == 0:
+        return []
+    out = np.empty(len(live), dtype=np.int64)
+    n = lib.groom_order(
+        len(ef), _p64(ef), _p64(et),
+        len(live), _p64(live), int(live.max()),
+        len(steps), _p64(steps), len(path_off) - 1, _p64(path_off),
+        int(use_bfs),
+        _p64(out),
+    )
+    if n < 0:
+        return None
+    return out[:n].tolist()

@@ -98,6 +98,13 @@ def exact_odgi_topological_order(
     if not live:
         return []
 
+    if len(graph.edges) >= 2048:
+        from .native_dispatch import native_topo
+
+        out = native_topo(graph, use_heads, use_tails)
+        if out is not None:
+            return out
+
     adj = AdjacencyIndex(graph)
     sorted_out: List[int] = []
 

@@ -22,7 +22,7 @@ _LIB: Optional[ctypes.CDLL] = None
 _PYLIB: Optional[ctypes.PyDLL] = None
 _PYLIB_FAILED = False
 
-SOURCES = ["sgd_exact.cpp", "gfa_parser.cpp", "py_assemble.cpp"]
+SOURCES = ["sgd_exact.cpp", "gfa_parser.cpp", "py_assemble.cpp", "graph_algos.cpp"]
 # -ffp-contract=off: forbid FMA contraction so every f64 op rounds like
 # the Rust reference (and the Python oracle); GCC's default
 # -ffp-contract=fast breaks bit parity.
@@ -163,6 +163,24 @@ def _declare(lib: ctypes.CDLL) -> None:
         pf64, i64, f64, f64,
         u64, u64, u64, u64,
         pf64, i64,
+    ]
+
+    i32 = ctypes.c_int32
+    lib.topo_exact_order.restype = i64
+    lib.topo_exact_order.argtypes = [
+        i64, pi64, pi64,          # edges
+        i64, pi64, i64,           # live ids, max_id
+        i64, pi64, i64, pi64,     # steps, path offsets
+        i32, i32,                 # use_heads, use_tails
+        pi64,                     # out
+    ]
+    lib.groom_order.restype = i64
+    lib.groom_order.argtypes = [
+        i64, pi64, pi64,
+        i64, pi64, i64,
+        i64, pi64, i64, pi64,
+        i32,                      # use_bfs
+        pi64,
     ]
 
     lib.layout_stress_2d.restype = f64

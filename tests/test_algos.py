@@ -386,3 +386,69 @@ def test_local_refinement_fixes_short_backward_edge():
     assert sorted(ids) == [1, 2, 3]
     pos = {nid: i for i, nid in enumerate(ids)}
     assert pos[3] < pos[2]  # backward edge fixed
+
+
+# ------------------------------------------------- native (C++) parity
+def _native_available():
+    from gfasort_tpu.native import available
+
+    return available()
+
+
+@pytest.mark.skipif(not _native_available(), reason="no C++ toolchain")
+def test_native_topo_matches_python_randomized():
+    from gfasort_tpu.algos.native_dispatch import native_topo
+
+    rng = random.Random(404)
+    for trial in range(150):
+        g = random_graph(
+            rng,
+            n_nodes=rng.randint(2, 40),
+            n_edges=rng.randint(1, 80),
+            n_paths=rng.randint(0, 4),
+        )
+        for use_heads, use_tails in ((True, False), (False, True), (False, False)):
+            want = naive_exact_odgi(g, use_heads, use_tails)
+            got = native_topo(g, use_heads, use_tails)
+            assert got == want, f"trial {trial} heads={use_heads} tails={use_tails}"
+
+
+@pytest.mark.skipif(not _native_available(), reason="no C++ toolchain")
+def test_native_groom_matches_python_randomized():
+    from gfasort_tpu.algos.native_dispatch import native_groom
+
+    rng = random.Random(405)
+    for trial in range(150):
+        g = random_graph(
+            rng,
+            n_nodes=rng.randint(2, 40),
+            n_edges=rng.randint(1, 80),
+            n_paths=rng.randint(0, 4),
+        )
+        # BFS vs the naive reference transcription; DFS vs the Python
+        # implementation (random graphs are below the dispatch
+        # threshold, so groom_with_mode stays pure-Python here)
+        assert native_groom(g, True) == naive_groom_bfs(g), f"trial {trial} bfs"
+        assert native_groom(g, False) == groom_with_mode(g, use_bfs=False), (
+            f"trial {trial} dfs"
+        )
+
+
+@pytest.mark.skipif(not _native_available(), reason="no C++ toolchain")
+def test_native_dispatch_on_fixture(drb1_gfa):
+    """DRB1 has >2048 edges, so the public functions dispatch to C++;
+    force the Python path and compare."""
+    from gfasort_tpu.algos import native_dispatch
+
+    g = gfa.parse_gfa_numeric(drb1_gfa)
+    got_topo = exact_odgi_topological_order(g, True, False)
+    got_groom = groom(g)
+
+    import unittest.mock as mock
+
+    with mock.patch.object(native_dispatch, "native_topo", lambda *a: None), \
+         mock.patch.object(native_dispatch, "native_groom", lambda *a: None):
+        want_topo = exact_odgi_topological_order(g, True, False)
+        want_groom = groom(g)
+    assert got_topo == want_topo
+    assert got_groom == want_groom
