@@ -212,18 +212,44 @@ def apply_grooming_with_reorder(graph, groomed_handles: List[int], reorder: bool
     renumber nodes 1..N by the groomed handle order."""
     import numpy as np
 
-    flips = {H.node_id(h) for h in groomed_handles if H.is_reverse(h)}
+    handles_arr = np.asarray(groomed_handles, dtype=np.int64)
+    flip_ids = handles_arr[(handles_arr & 1) == 1] >> 1
+    flips = set(flip_ids.tolist())
 
-    for nid in flips:
-        if nid < len(graph.nodes) and graph.nodes[nid] is not None:
-            graph.nodes[nid] = H.reverse_complement(graph.nodes[nid])
+    native_done = False
+    if len(flips) + len(graph.edges) >= 4096:
+        from ..native.build import load_py
 
-    new_edges = set()
-    for f, t in graph.edges:
-        nf = H.flip(f) if H.node_id(f) in flips else f
-        nt = H.flip(t) if H.node_id(t) in flips else t
-        new_edges.add((nf, nt))
-    graph.edges = new_edges
+        pylib = load_py()
+        if pylib is not None:
+            import ctypes
+
+            pylib.rc_nodes_inplace(
+                graph.nodes,
+                np.ascontiguousarray(flip_ids).ctypes.data_as(
+                    ctypes.POINTER(ctypes.c_int64)
+                ),
+                len(flip_ids),
+            )
+            mask = np.zeros(len(graph.nodes) + 1, dtype=np.uint8)
+            mask[flip_ids[flip_ids < len(mask)]] = 1
+            graph.edges = pylib.flip_edge_set(
+                graph.edges,
+                mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                len(mask),
+            )
+            native_done = True
+    if not native_done:
+        for nid in flips:
+            if nid < len(graph.nodes) and graph.nodes[nid] is not None:
+                graph.nodes[nid] = H.reverse_complement(graph.nodes[nid])
+
+        new_edges = set()
+        for f, t in graph.edges:
+            nf = H.flip(f) if H.node_id(f) in flips else f
+            nt = H.flip(t) if H.node_id(t) in flips else t
+            new_edges.add((nf, nt))
+        graph.edges = new_edges
 
     if flips:
         flip_arr = np.zeros(len(graph.nodes) + 1, dtype=np.int64)

@@ -25,13 +25,12 @@ def _p64(a: np.ndarray):
 
 
 def graph_arrays(graph) -> Tuple[np.ndarray, ...]:
-    """(e_from, e_to, live_ids, steps, path_off) as contiguous int64."""
-    n_e = len(graph.edges)
-    ef = np.empty(n_e, dtype=np.int64)
-    et = np.empty(n_e, dtype=np.int64)
-    for i, (f, t) in enumerate(graph.edges):
-        ef[i] = f
-        et[i] = t
+    """(e_from, e_to, live_ids, steps, path_off, max_id) as contiguous
+    int64 (+ int).  ``max_id`` covers live nodes AND any dangling ids
+    referenced by edges or path steps — the C side sizes its id-indexed
+    arrays by it, and dangling references are legal graph state
+    (validate_graph_consistency reports them, nothing forbids them)."""
+    ef, et = graph.edges_to_arrays()
     live = np.asarray(graph.live_node_ids(), dtype=np.int64)
     parts = [p.steps for p in graph.paths if len(p)]
     steps = (
@@ -41,7 +40,11 @@ def graph_arrays(graph) -> Tuple[np.ndarray, ...]:
     )
     counts = [len(p) for p in graph.paths if len(p)]
     path_off = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
-    return ef, et, live, steps, path_off
+    max_id = 0
+    for arr in (live, ef >> 1, et >> 1, steps >> 1):
+        if len(arr):
+            max_id = max(max_id, int(arr.max()))
+    return ef, et, live, steps, path_off, max_id
 
 
 def _lib():
@@ -55,13 +58,13 @@ def native_topo(graph, use_heads: bool, use_tails: bool) -> Optional[List[int]]:
     lib = _lib()
     if lib is None:
         return None
-    ef, et, live, steps, path_off = graph_arrays(graph)
+    ef, et, live, steps, path_off, max_id = graph_arrays(graph)
     if len(live) == 0:
         return []
     out = np.empty(len(live), dtype=np.int64)
     n = lib.topo_exact_order(
         len(ef), _p64(ef), _p64(et),
-        len(live), _p64(live), int(live.max()),
+        len(live), _p64(live), max_id,
         len(steps), _p64(steps), len(path_off) - 1, _p64(path_off),
         int(use_heads), int(use_tails),
         _p64(out),
@@ -71,18 +74,41 @@ def native_topo(graph, use_heads: bool, use_tails: bool) -> Optional[List[int]]:
     return out[:n].tolist()
 
 
+def native_simple_components(graph) -> Optional[List[List[int]]]:
+    """Native unchop component finder, or None if unavailable."""
+    lib = _lib()
+    if lib is None:
+        return None
+    ef, et, live, steps, path_off, max_id = graph_arrays(graph)
+    if len(live) == 0:
+        return []
+    out_chains = np.empty(2 * (max_id + 1), dtype=np.int64)
+    out_off = np.empty(2 * len(live) + 1, dtype=np.int64)
+    n = lib.find_simple_components_native(
+        len(ef), _p64(ef), _p64(et),
+        len(live), _p64(live), max_id,
+        len(steps), _p64(steps), len(path_off) - 1, _p64(path_off),
+        _p64(out_chains), _p64(out_off),
+    )
+    if n < 0:
+        return None
+    return [
+        out_chains[out_off[c]:out_off[c + 1]].tolist() for c in range(n)
+    ]
+
+
 def native_groom(graph, use_bfs: bool) -> Optional[List[int]]:
     """Native groom order (BFS/DFS modes), or None if unavailable."""
     lib = _lib()
     if lib is None:
         return None
-    ef, et, live, steps, path_off = graph_arrays(graph)
+    ef, et, live, steps, path_off, max_id = graph_arrays(graph)
     if len(live) == 0:
         return []
     out = np.empty(len(live), dtype=np.int64)
     n = lib.groom_order(
         len(ef), _p64(ef), _p64(et),
-        len(live), _p64(live), int(live.max()),
+        len(live), _p64(live), max_id,
         len(steps), _p64(steps), len(path_off) - 1, _p64(path_off),
         int(use_bfs),
         _p64(out),

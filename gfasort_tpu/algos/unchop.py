@@ -57,6 +57,13 @@ def find_simple_components(graph) -> List[List[int]]:
     handles in id order (forward then reverse per node), extending a
     chain while the doubled adjacency stays 1-in/1-out and the path
     test passes."""
+    if len(graph.edges) >= 2048:
+        from .native_dispatch import native_simple_components
+
+        out = native_simple_components(graph)
+        if out is not None:
+            return out
+
     # Doubled adjacency (direct + implied reverse) (:139-152).
     fwd: Dict[int, List[int]] = {}
     bwd: Dict[int, List[int]] = {}

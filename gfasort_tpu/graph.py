@@ -101,8 +101,53 @@ class BidirectedGraph:
     def node_count(self) -> int:
         return sum(1 for n in self.nodes if n is not None)
 
+    def node_len_array(self) -> np.ndarray:
+        """Per-id sequence lengths as int64, ``-1`` for dead/absent slots.
+        One native pass at scale; the Python loop is the fallback."""
+        out = np.empty(len(self.nodes), dtype=np.int64)
+        if len(self.nodes) >= 4096:
+            from .native.build import load_py
+
+            pylib = load_py()
+            if pylib is not None:
+                import ctypes
+
+                n = pylib.node_len_fill(
+                    self.nodes,
+                    out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                )
+                if n >= 0:
+                    return out
+        for i, seq in enumerate(self.nodes):
+            out[i] = -1 if seq is None else len(seq)
+        return out
+
     def live_node_ids(self) -> List[int]:
+        if len(self.nodes) >= 4096:
+            return np.flatnonzero(self.node_len_array() >= 0).tolist()
         return [i for i, n in enumerate(self.nodes) if n is not None]
+
+    def edges_to_arrays(self) -> Tuple[np.ndarray, np.ndarray]:
+        """The stored edge forms as two int64 arrays (from, to)."""
+        n = len(self.edges)
+        ef = np.empty(n, dtype=np.int64)
+        et = np.empty(n, dtype=np.int64)
+        if n >= 4096:
+            from .native.build import load_py
+
+            pylib = load_py()
+            if pylib is not None:
+                import ctypes
+
+                p = ctypes.POINTER(ctypes.c_int64)
+                if pylib.edge_set_to_arrays(
+                    self.edges, ef.ctypes.data_as(p), et.ctypes.data_as(p)
+                ) == n:
+                    return ef, et
+        for i, (f, t) in enumerate(self.edges):
+            ef[i] = f
+            et[i] = t
+        return ef, et
 
     def total_sequence_length(self) -> int:
         return sum(len(n) for n in self.nodes if n is not None)

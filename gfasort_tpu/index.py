@@ -48,16 +48,14 @@ def sgd_node_ids(graph: BidirectedGraph) -> List[int]:
     src/sgd.rs:525-538).  We fall back to sorted live ids instead,
     which is bit-identical on dense-id inputs (where node_order always
     covers everything) and non-destructive otherwise."""
-    live = graph.live_node_ids()
-    if graph.node_order:
-        n = len(graph.nodes)
-        covered = [
-            nid for nid in graph.node_order
-            if nid < n and graph.nodes[nid] is not None
-        ]
+    nlen = graph.node_len_array()
+    live = np.flatnonzero(nlen >= 0)
+    if graph.node_order and len(nlen):
+        order = np.asarray(graph.node_order, dtype=np.int64)
+        covered = order[(order < len(nlen)) & (nlen[np.minimum(order, len(nlen) - 1)] >= 0)]
         if len(covered) == len(live):
-            return covered
-    return live
+            return covered.tolist()
+    return live.tolist()
 
 
 @dataclass
@@ -83,11 +81,11 @@ class PathIndex:
         handles, poss, pths, rnks = [], [], [], []
         counts, lens = [], []
 
-        # node length lookup by id
-        nlen = np.zeros(max(len(graph.nodes), 1), dtype=np.int64)
-        for nid, seq in enumerate(graph.nodes):
-            if seq is not None:
-                nlen[nid] = len(seq)
+        # node length lookup by id (dead slots clamp to 0)
+        nlen_raw = graph.node_len_array()
+        nlen = np.maximum(nlen_raw, 0)
+        if len(nlen) == 0:
+            nlen = np.zeros(1, dtype=np.int64)
 
         for p, path in enumerate(graph.paths):
             steps = path.steps
@@ -111,15 +109,13 @@ class PathIndex:
         path_first = np.concatenate([[0], np.cumsum(path_count)[:-1]]).astype(np.int64) if len(counts) else np.zeros(0, dtype=np.int64)
         path_len = np.asarray(lens, dtype=np.int64)
 
-        # SGD node indexing (src/sgd.rs:275-294)
-        order = sgd_node_ids(graph)
-        live_ids = [
-            nid for nid in order
-            if nid < len(graph.nodes) and graph.nodes[nid] is not None
-        ]
-        node_ids = np.asarray(live_ids, dtype=np.int64)
-        node_len = nlen[node_ids] if len(live_ids) else np.zeros(0, dtype=np.int64)
-        handle_to_idx = {nid: i for i, nid in enumerate(live_ids)}
+        # SGD node indexing (src/sgd.rs:275-294); sgd_node_ids already
+        # returns live nodes only
+        node_ids = np.asarray(sgd_node_ids(graph), dtype=np.int64)
+        node_len = nlen[node_ids] if len(node_ids) else np.zeros(0, dtype=np.int64)
+        handle_to_idx = dict(
+            zip(node_ids.tolist(), range(len(node_ids)))
+        )
 
         if len(step_handle):
             lut = np.full(len(graph.nodes) + 1, -1, dtype=np.int64)

@@ -137,10 +137,49 @@ def _fmt_steps(path: BiPath) -> str:
     return ",".join(H.fmt(int(h)) for h in path.steps)
 
 
+def _native_writer(graph: BidirectedGraph, sort_edges: bool, overlaps):
+    """Shared native fast path: returns the full GFA text or None.
+    ``overlaps(path)`` gives the P-line overlap column."""
+    if len(graph.nodes) + len(graph.edges) < 4096:
+        return None
+    from ..native.build import load_py
+
+    pylib = load_py()
+    if pylib is None:
+        return None
+    import ctypes
+
+    import numpy as np
+
+    p64 = ctypes.POINTER(ctypes.c_int64)
+    parts = [b"H\tVN:Z:1.0\n", pylib.format_s_lines(graph.nodes)]
+    ef, et = graph.edges_to_arrays()
+    if sort_edges:
+        # lexicographic (from, to) == sorted(set of tuples)
+        order = np.lexsort((et, ef))
+        ef, et = np.ascontiguousarray(ef[order]), np.ascontiguousarray(et[order])
+    parts.append(
+        pylib.format_l_lines(
+            len(ef), ef.ctypes.data_as(p64), et.ctypes.data_as(p64), 1
+        )
+    )
+    for path in graph.paths:
+        steps = np.ascontiguousarray(path.steps, dtype=np.int64)
+        step_str = pylib.format_steps(len(steps), steps.ctypes.data_as(p64))
+        parts.append(
+            b"P\t" + path.name.encode() + b"\t" + step_str
+            + b"\t" + overlaps(path).encode() + b"\n"
+        )
+    return b"".join(parts).decode()
+
+
 def write_gfa(graph: BidirectedGraph, sort_edges: bool = True) -> str:
     """CLI-style GFA text (src/graph_ops.rs:693-738), with L lines sorted
     for determinism (set ``sort_edges=False`` for insertion-arbitrary
     order)."""
+    native = _native_writer(graph, sort_edges, lambda p: "*")
+    if native is not None:
+        return native
     out = _io.StringIO()
     out.write("H\tVN:Z:1.0\n")
     for nid, seq in enumerate(graph.nodes):
@@ -160,6 +199,11 @@ def write_gfa(graph: BidirectedGraph, sort_edges: bool = True) -> str:
 def write_gfa_library(graph: BidirectedGraph) -> str:
     """Library-style GFA text with per-step 0M overlaps and sorted L
     lines (src/gfa_parser.rs:136-184)."""
+    native = _native_writer(
+        graph, True, lambda p: ",".join(["0M"] * max(len(p) - 1, 0))
+    )
+    if native is not None:
+        return native
     out = _io.StringIO()
     out.write("H\tVN:Z:1.0\n")
     for nid, seq in enumerate(graph.nodes):

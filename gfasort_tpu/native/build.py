@@ -97,6 +97,21 @@ def load_py() -> Optional[ctypes.PyDLL]:
             pylib.remap_edge_set.argtypes = [
                 ctypes.py_object, pi64, i64, ctypes.c_int,
             ]
+            pu8 = ctypes.POINTER(ctypes.c_uint8)
+            pylib.node_len_fill.restype = i64
+            pylib.node_len_fill.argtypes = [ctypes.py_object, pi64]
+            pylib.edge_set_to_arrays.restype = i64
+            pylib.edge_set_to_arrays.argtypes = [ctypes.py_object, pi64, pi64]
+            pylib.flip_edge_set.restype = ctypes.py_object
+            pylib.flip_edge_set.argtypes = [ctypes.py_object, pu8, i64]
+            pylib.rc_nodes_inplace.restype = i64
+            pylib.rc_nodes_inplace.argtypes = [ctypes.py_object, pi64, i64]
+            pylib.format_s_lines.restype = ctypes.py_object
+            pylib.format_s_lines.argtypes = [ctypes.py_object]
+            pylib.format_l_lines.restype = ctypes.py_object
+            pylib.format_l_lines.argtypes = [i64, pi64, pi64, ctypes.c_int]
+            pylib.format_steps.restype = ctypes.py_object
+            pylib.format_steps.argtypes = [i64, pi64]
             _PYLIB = pylib
         except (OSError, AttributeError):
             _PYLIB_FAILED = True
@@ -173,6 +188,13 @@ def _declare(lib: ctypes.CDLL) -> None:
         i64, pi64, i64, pi64,     # steps, path offsets
         i32, i32,                 # use_heads, use_tails
         pi64,                     # out
+    ]
+    lib.find_simple_components_native.restype = i64
+    lib.find_simple_components_native.argtypes = [
+        i64, pi64, pi64,
+        i64, pi64, i64,
+        i64, pi64, i64, pi64,
+        pi64, pi64,               # out_chains, out_off
     ]
     lib.groom_order.restype = i64
     lib.groom_order.argtypes = [

@@ -349,4 +349,94 @@ int64_t groom_order(int64_t n_edges, const int64_t* e_from,
   return n_live;
 }
 
+// Simple-component finder for unchop (algos/unchop.py:33-112; reference
+// src/graph_ops.rs:128-287).  Scans handles in id order, extending a
+// chain while the doubled adjacency stays 1-in/1-out and the
+// path-successor ("perfect neighbors") test passes.  Writes chains
+// flattened into out_chains with out_off[c]..out_off[c+1] per chain;
+// returns the chain count, or -1 on error.
+int64_t find_simple_components_native(
+    int64_t n_edges, const int64_t* e_from, const int64_t* e_to,
+    int64_t n_live, const int64_t* live_ids, int64_t max_id,
+    int64_t n_steps, const int64_t* steps, int64_t n_paths,
+    const int64_t* path_off, int64_t* out_chains, int64_t* out_off) {
+  const int64_t H = 2 * (max_id + 1);
+
+  // doubled adjacency degrees + the unique neighbor where degree == 1
+  vector<int32_t> fdeg(H, 0), bdeg(H, 0);
+  vector<int64_t> fnext(H, -1);
+  for (int64_t i = 0; i < n_edges; i++) {
+    int64_t f = e_from[i], t = e_to[i];
+    fdeg[f]++;
+    fnext[f] = t;
+    bdeg[t]++;
+    int64_t tf = flip(t), ff = flip(f);
+    fdeg[tf]++;
+    fnext[tf] = ff;
+    bdeg[ff]++;
+  }
+
+  // path successor map: -2 absent, -1 conflict/path-final, else handle
+  // (algos/unchop.py:33-52)
+  vector<int64_t> succ(H, -2);
+  for (int64_t p = 0; p < n_paths; p++) {
+    for (int64_t s = path_off[p]; s < path_off[p + 1]; s++) {
+      int64_t h = steps[s];
+      int64_t nxt = (s + 1 < path_off[p + 1]) ? steps[s + 1] : -1;
+      if (succ[h] == -2)
+        succ[h] = nxt;
+      else if (succ[h] != nxt)
+        succ[h] = -1;
+    }
+  }
+
+  auto perfect = [&](int64_t a, int64_t b) -> bool {
+    int64_t sa = succ[a];
+    if (sa == -1 || (sa != -2 && sa != b)) return false;
+    int64_t sb = succ[flip(b)];
+    if (sb == -1 || (sb != -2 && sb != flip(a))) return false;
+    return true;
+  };
+
+  vector<uint8_t> visited(H, 0), merged(max_id + 1, 0);
+  int64_t n_out = 0, pos = 0;
+  out_off[0] = 0;
+  for (int64_t i = 0; i < n_live; i++) {
+    int64_t nid = live_ids[i];
+    for (int rev = 0; rev < 2; rev++) {
+      int64_t handle = (nid << 1) | rev;
+      if (visited[handle]) continue;
+      if (fdeg[handle] != 1) continue;
+      int64_t chain_start = pos;
+      out_chains[pos++] = handle;
+      visited[handle] = 1;
+      int64_t current = handle;
+      while (true) {
+        if (fdeg[current] != 1) break;
+        int64_t nxt = fnext[current];
+        if (bdeg[nxt] != 1 || visited[nxt]) break;
+        if (!perfect(current, nxt)) break;
+        out_chains[pos++] = nxt;
+        visited[nxt] = 1;
+        current = nxt;
+        if (fdeg[nxt] != 1) break;
+      }
+      int64_t len = pos - chain_start;
+      if (len >= 2) {
+        bool clash = false;
+        for (int64_t k = chain_start; k < pos; k++)
+          if (merged[node_id(out_chains[k])]) { clash = true; break; }
+        if (!clash) {
+          for (int64_t k = chain_start; k < pos; k++)
+            merged[node_id(out_chains[k])] = 1;
+          out_off[++n_out] = pos;
+          continue;
+        }
+      }
+      pos = chain_start;  // discard
+    }
+  }
+  return n_out;
+}
+
 }  // extern "C"

@@ -452,3 +452,43 @@ def test_native_dispatch_on_fixture(drb1_gfa):
         want_groom = groom(g)
     assert got_topo == want_topo
     assert got_groom == want_groom
+
+
+@pytest.mark.skipif(not _native_available(), reason="no C++ toolchain")
+def test_native_simple_components_matches_python_randomized():
+    from gfasort_tpu.algos import unchop as unchop_mod
+    from gfasort_tpu.algos.native_dispatch import native_simple_components
+
+    rng = random.Random(406)
+    for trial in range(200):
+        g = random_graph(
+            rng,
+            n_nodes=rng.randint(2, 30),
+            n_edges=rng.randint(1, 50),
+            n_paths=rng.randint(0, 4),
+        )
+        # long linear runs make real chains likely
+        for i in range(1, rng.randint(2, 20)):
+            g.add_edge(H.forward(i), H.forward(i + 1))
+        import unittest.mock as mock
+
+        with mock.patch.object(
+            unchop_mod, "find_simple_components",
+            wraps=unchop_mod.find_simple_components,
+        ):
+            pass
+        want = _python_simple_components(g)
+        got = native_simple_components(g)
+        assert got == want, f"trial {trial}"
+
+
+def _python_simple_components(g):
+    """Force the pure-Python component finder (below dispatch threshold
+    anyway, but explicit)."""
+    import gfasort_tpu.algos.native_dispatch as nd
+    import unittest.mock as mock
+
+    from gfasort_tpu.algos.unchop import find_simple_components
+
+    with mock.patch.object(nd, "native_simple_components", lambda g: None):
+        return find_simple_components(g)

@@ -85,3 +85,81 @@ def test_native_edge_remap_matches_python(keep_unmapped):
             (H.encode(nf, H.is_reverse(f)), H.encode(nt, H.is_reverse(t)))
         )
     assert g_native.edges == expected
+
+
+def _native_py_available():
+    from gfasort_tpu.native.build import load_py
+
+    return load_py() is not None
+
+
+@pytest.mark.skipif(not _native_py_available(), reason="no C++ toolchain")
+def test_native_helpers_match_python_at_scale():
+    """The CPython-API fast paths (node_len_fill, edge_set_to_arrays,
+    flip_edge_set, rc_nodes_inplace, format_*) dispatch only above 4096
+    nodes/edges; build a graph past the threshold and compare against
+    the pure-Python semantics."""
+    import random
+
+    import numpy as np
+
+    from gfasort_tpu import BidirectedGraph
+    from gfasort_tpu import handle as H
+    from gfasort_tpu.algos.groom import apply_grooming_with_reorder
+    from gfasort_tpu.io.gfa import write_gfa, write_gfa_library
+
+    rng = random.Random(99)
+    g = BidirectedGraph()
+    n = 5000
+    for i in range(1, n + 1):
+        g.add_node(i, bytes(rng.choice(b"ACGTNx") for _ in range(rng.randint(1, 6))))
+    for i in range(1, n):
+        g.add_edge(H.encode(i, rng.randint(0, 1)), H.encode(i + 1, rng.randint(0, 1)))
+    for _ in range(2000):
+        a, b = rng.randint(1, n), rng.randint(1, n)
+        g.add_edge(H.encode(a, rng.randint(0, 1)), H.encode(b, rng.randint(0, 1)))
+    g.build_path("p0", [(i, bool(rng.randint(0, 1))) for i in range(1, n + 1)])
+
+    # node_len_array / edges_to_arrays vs python
+    nlen = g.node_len_array()
+    assert nlen[0] == -1 and all(
+        nlen[i] == (len(g.nodes[i]) if g.nodes[i] is not None else -1)
+        for i in range(len(g.nodes))
+    )
+    ef, et = g.edges_to_arrays()
+    assert set(zip(ef.tolist(), et.tolist())) == g.edges
+
+    # write_gfa native vs forced-python (shrink a clone under threshold
+    # is wrong — instead compare against a manual python rebuild)
+    import gfasort_tpu.io.gfa as gfa_mod
+
+    native_out = write_gfa(g)
+    native_lib_out = write_gfa_library(g)
+    orig = gfa_mod._native_writer
+    gfa_mod._native_writer = lambda *a, **k: None
+    try:
+        assert native_out == write_gfa(g)
+        assert native_lib_out == write_gfa_library(g)
+    finally:
+        gfa_mod._native_writer = orig
+
+    # grooming application: native vs python on clones
+    handles = [
+        H.encode(i, rng.randint(0, 1)) for i in range(1, n + 1)
+    ]
+    g1, g2 = g.clone(), g.clone()
+    apply_grooming_with_reorder(g1, handles, True)  # native (over threshold)
+    # force python path by monkeypatching load_py
+    import gfasort_tpu.native.build as build_mod
+
+    orig_load = build_mod.load_py
+    build_mod.load_py = lambda: None
+    try:
+        apply_grooming_with_reorder(g2, handles, True)
+    finally:
+        build_mod.load_py = orig_load
+    assert g1.nodes == g2.nodes
+    assert g1.edges == g2.edges
+    assert all(
+        np.array_equal(p1.steps, p2.steps) for p1, p2 in zip(g1.paths, g2.paths)
+    )
