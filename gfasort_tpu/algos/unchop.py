@@ -25,7 +25,12 @@ import numpy as np
 
 from .. import handle as H
 
-__all__ = ["compact", "find_simple_components", "merge_component"]
+__all__ = [
+    "compact",
+    "find_simple_components",
+    "merge_component",
+    "merge_components",
+]
 
 _CONFLICT = object()
 
@@ -263,12 +268,215 @@ def merge_component(graph, handles: List[int]) -> bool:
     return True
 
 
+def merge_components(graph, comps: List[List[int]]) -> int:
+    """Batched merge of node-disjoint, repetition-free chains — the
+    state after this equals applying :func:`merge_component` to each
+    chain in order (chains are node-disjoint by construction, so one
+    chain's path/edge rewrites never affect another's validation, and
+    new ids are assigned to the successful merges in order).  Replaces
+    the reference's per-component full path+edge rewrite
+    (src/graph_ops.rs:291-498), which is quadratic when a graph has many
+    chains.  Returns the number of chains merged."""
+    if not comps:
+        return 0
+    C = len(comps)
+    k_of = np.asarray([len(c) for c in comps], dtype=np.int64)
+    chains_flat = np.concatenate([np.asarray(c, dtype=np.int64) for c in comps])
+    chain_ids = chains_flat >> 1
+    chain_cid = np.repeat(np.arange(C, dtype=np.int64), k_of)
+    chain_pos = np.concatenate([np.arange(k, dtype=np.int64) for k in k_of])
+
+    max_id = int(chain_ids.max())
+    for path in graph.paths:
+        if len(path):
+            max_id = max(max_id, int(path.steps.max() >> 1))
+    if graph.edges:
+        ef, et = graph.edges_to_arrays()
+        if len(ef):
+            max_id = max(max_id, int(ef.max() >> 1), int(et.max() >> 1))
+    else:
+        ef = et = np.zeros(0, np.int64)
+
+    # per-node tables (each node occurs in at most one chain, once)
+    cid_of = np.full(max_id + 1, -1, dtype=np.int64)
+    pos_of = np.zeros(max_id + 1, dtype=np.int64)
+    ori_of = np.zeros(max_id + 1, dtype=np.int64)
+    cid_of[chain_ids] = chain_cid
+    pos_of[chain_ids] = chain_pos
+    ori_of[chain_ids] = chains_flat & 1
+
+    # ---- validation: every occurrence of a chain node must sit inside
+    # a complete forward or reverse run (src/graph_ops.rs:330-377) ----
+    valid = np.ones(C, dtype=bool)
+
+    def _analyze(steps):
+        ids = steps >> 1
+        cid = cid_of[ids]
+        member = cid >= 0
+        j = pos_of[ids]
+        ori = (steps & 1) ^ ori_of[ids]
+        kk = k_of[np.maximum(cid, 0)]
+        n = len(steps)
+        same_prev = np.zeros(n, dtype=bool)
+        same_prev[1:] = cid[1:] == cid[:-1]
+        same_next = np.zeros(n, dtype=bool)
+        same_next[:-1] = cid[:-1] == cid[1:]
+        jp = np.empty(n, dtype=np.int64)
+        jp[1:] = j[:-1]
+        jp[0] = -9
+        jn = np.empty(n, dtype=np.int64)
+        jn[:-1] = j[1:]
+        jn[-1] = -9
+        op = np.empty(n, dtype=np.int64)
+        op[1:] = ori[:-1]
+        op[0] = -9
+        on = np.empty(n, dtype=np.int64)
+        on[:-1] = ori[1:]
+        on[-1] = -9
+        fwd = member & (ori == 0)
+        rev = member & (ori == 1)
+        f_ok = (
+            ((j == 0) | (same_prev & (op == 0) & (jp == j - 1)))
+            & ((j == kk - 1) | (same_next & (on == 0) & (jn == j + 1)))
+        )
+        r_ok = (
+            ((j == kk - 1) | (same_prev & (op == 1) & (jp == j + 1)))
+            & ((j == 0) | (same_next & (on == 1) & (jn == j - 1)))
+        )
+        bad = (fwd & ~f_ok) | (rev & ~r_ok)
+        return cid, member, j, ori, kk, bad
+
+    analyses = []
+    for path in graph.paths:
+        if not len(path):
+            analyses.append(None)
+            continue
+        a = _analyze(path.steps)
+        analyses.append(a)
+        bad_cids = a[0][a[5]]
+        if len(bad_cids):
+            valid[np.unique(bad_cids)] = False
+
+    n_merged = int(valid.sum())
+    if n_merged == 0:
+        return 0
+
+    # new node ids, in chain order over the successful merges
+    base = len(graph.nodes)
+    new_id = np.full(C, -1, dtype=np.int64)
+    new_id[valid] = base + np.arange(n_merged, dtype=np.int64)
+
+    # ---- create merged nodes (concat oriented sequences, :302-311) ----
+    for c in np.flatnonzero(valid).tolist():
+        parts = []
+        for h in comps[c]:
+            seq = graph.get_sequence(int(h))
+            if seq is not None:
+                parts.append(seq)
+        graph.add_node(int(new_id[c]), b"".join(parts))
+
+    # ---- rewrite paths: replace each complete run by one handle ----
+    for path, a in zip(graph.paths, analyses):
+        if a is None:
+            continue
+        cid, member, j, ori, kk, _bad = a
+        hit = member & valid[np.maximum(cid, 0)]
+        if not hit.any():
+            continue
+        f_start = hit & (ori == 0) & (j == 0)
+        r_start = hit & (ori == 1) & (j == kk - 1)
+        steps = path.steps.copy()
+        steps[f_start] = new_id[cid[f_start]] << 1
+        steps[r_start] = (new_id[cid[r_start]] << 1) | 1
+        path.steps = steps[~(hit & ~f_start & ~r_start)]
+
+    # ---- rewrite edges (boundary rerouting, :429-487) ----
+    first = np.asarray([c[0] for c in comps], dtype=np.int64)
+    last = np.asarray([c[-1] for c in comps], dtype=np.int64)
+
+    def _side(h, is_from):
+        """Per-endpoint candidate handles + mask of which exist:
+        returns (keep_mask, cand1, m1, cand2, m2, cid)."""
+        nid = h >> 1
+        c = cid_of[nid]
+        merged = (c >= 0) & valid[np.maximum(c, 0)]
+        cs = np.maximum(c, 0)
+        if is_from:
+            m1 = merged & (h == last[cs])          # -> new_fwd
+            m2 = merged & (h == (first[cs] ^ 1))   # -> new_rev
+        else:
+            m1 = merged & (h == first[cs])         # -> new_fwd
+            m2 = merged & (h == (last[cs] ^ 1))    # -> new_rev
+        cand1 = new_id[cs] << 1
+        cand2 = (new_id[cs] << 1) | 1
+        return ~merged, cand1, m1, cand2, m2, cs, merged
+
+    if len(ef):
+        fk, f1, fm1, f2, fm2, fc, fmerged = _side(ef, True)
+        tk, t1, tm1, t2, tm2, tc, tmerged = _side(et, False)
+        internal = fmerged & tmerged & (fc == tc)
+        outs_f = []
+        outs_t = []
+        # from-side options x to-side options (sequential composition of
+        # the two chains' reroutes; up to 4 results per edge)
+        for f_opt, f_m in ((ef, fk), (f1, fm1), (f2, fm2)):
+            for t_opt, t_m in ((et, tk), (t1, tm1), (t2, tm2)):
+                m = f_m & t_m & ~internal
+                if m.any():
+                    outs_f.append(f_opt[m])
+                    outs_t.append(t_opt[m])
+        nef = np.concatenate(outs_f) if outs_f else np.zeros(0, np.int64)
+        net = np.concatenate(outs_t) if outs_t else np.zeros(0, np.int64)
+        from ..native.build import load_py
+
+        pylib = load_py()
+        if pylib is not None and len(nef) >= 4096:
+            import ctypes
+
+            p = ctypes.POINTER(ctypes.c_int64)
+            nef = np.ascontiguousarray(nef)
+            net = np.ascontiguousarray(net)
+            graph.edges = pylib.gfa_build_edges(
+                len(nef), nef.ctypes.data_as(p), net.ctypes.data_as(p)
+            )
+        else:
+            graph.edges = set(zip(nef.tolist(), net.tolist()))
+
+    # ---- delete merged-away nodes (:489-495) ----
+    dead = chain_ids[valid[chain_cid]]
+    for nid in dead.tolist():
+        if nid < len(graph.nodes):
+            graph.nodes[nid] = None
+            graph.ranks.pop(nid, None)
+    return n_merged
+
+
 def compact(graph) -> None:
-    """Loop find+merge to fixpoint (src/graph_ops.rs:104-125)."""
+    """Loop find+merge to fixpoint (src/graph_ops.rs:104-125).
+
+    Chains from one round are node-disjoint and (bar hairpins) free of
+    within-chain node repeats, so they are merged in one batched pass;
+    hairpin chains (both orientations of a node in one chain) fall back
+    to the sequential per-component merge, flushed in discovery order so
+    new-id assignment matches the sequential semantics exactly."""
     while True:
         compacted = False
-        for component in find_simple_components(graph):
-            if len(component) >= 2 and merge_component(graph, component):
-                compacted = True
+        batch: List[List[int]] = []
+        comps = find_simple_components(graph)
+        for component in comps + [None]:
+            hairpin = component is not None and len(
+                {h >> 1 for h in component}
+            ) < len(component)
+            if component is not None and not hairpin:
+                if len(component) >= 2:
+                    batch.append(component)
+                continue
+            if batch:
+                if merge_components(graph, batch) > 0:
+                    compacted = True
+                batch = []
+            if component is not None and len(component) >= 2:
+                if merge_component(graph, component):
+                    compacted = True
         if not compacted:
             break

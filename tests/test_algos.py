@@ -492,3 +492,46 @@ def _python_simple_components(g):
 
     with mock.patch.object(nd, "native_simple_components", lambda g: None):
         return find_simple_components(g)
+
+
+def _sequential_compact(g):
+    """The pre-batching fixpoint loop: one merge_component call per
+    chain (reference structure, src/graph_ops.rs:104-125)."""
+    from gfasort_tpu.algos.unchop import find_simple_components, merge_component
+
+    while True:
+        compacted = False
+        for component in find_simple_components(g):
+            if len(component) >= 2 and merge_component(g, component):
+                compacted = True
+        if not compacted:
+            break
+
+
+def test_batched_compact_matches_sequential_randomized():
+    rng = random.Random(511)
+    for trial in range(120):
+        g = random_graph(
+            rng,
+            n_nodes=rng.randint(3, 25),
+            n_edges=rng.randint(2, 30),
+            n_paths=rng.randint(1, 4),
+        )
+        # seed linear runs so chains exist (over existing nodes only: a
+        # dangling path step with id == len(nodes) would be captured by
+        # the merged node, changing the path hash — faithful to the
+        # reference's new_id = nodes.len(), src/graph_ops.rs:500-502,
+        # but not what this test is about)
+        run = rng.randint(2, min(12, len(g.nodes) - 1))
+        for i in range(1, run):
+            g.add_edge(H.forward(i), H.forward(i + 1))
+        g.build_path("lin", [(i, False) for i in range(1, run + 1)])
+        g1, g2 = g.clone(), g.clone()
+        compact(g1)              # batched production path
+        _sequential_compact(g2)  # reference-structured sequential
+        assert g1.nodes == g2.nodes, f"trial {trial}: nodes differ"
+        assert g1.edges == g2.edges, f"trial {trial}: edges differ"
+        assert g1.node_order == g2.node_order, f"trial {trial}: order differs"
+        for p1, p2 in zip(g1.paths, g2.paths):
+            assert np.array_equal(p1.steps, p2.steps), f"trial {trial}: path {p1.name}"
+        assert g1.compute_all_path_hashes() == g.compute_all_path_hashes()
