@@ -33,6 +33,7 @@ per sweep.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from functools import partial
 from typing import Optional
@@ -144,6 +145,29 @@ def build_sweep_runner(
     rank_arr = jnp.asarray(pidx.step_rank.astype(np.int32))
     cnt_arr = jnp.asarray(pidx.step_count_of_step.astype(np.int32))
 
+    # Pair term-distances are STATIC (pos never changes): precompute
+    # |pos[s] - pos[s±k]| per offset so the sweep halves read one [S]
+    # array instead of pos + a materialized roll of pos (~25% of the
+    # sweep's HBM traffic; rolls materialize on TPU).  Wrap lanes hold
+    # garbage — they are masked by the iota guard.  Gated by memory:
+    # 2·K·S·itemsize must fit comfortably in HBM next to everything else.
+    dk_budget = int(os.environ.get("GFASORT_DK_BUDGET", 3 * 1024**3))
+    itemsize = np.dtype(dtype).itemsize
+    use_dk = 2 * K * S * itemsize <= dk_budget
+    if use_dk:
+        pos_np = np.asarray(pidx.step_pos, dtype=dtype)
+        dk_list = []
+        off_slot = {}
+        for kk in offs.tolist():
+            off_slot[int(kk)] = len(dk_list) // 2  # pair slot
+            dk_list.append(jnp.asarray(np.abs(pos_np - np.roll(pos_np, -kk))))
+            dk_list.append(jnp.asarray(np.abs(pos_np - np.roll(pos_np, +kk))))
+        dk_args = tuple(dk_list)
+    else:
+        off_slot = {}
+        dk_args = ()
+    n_dk = len(dk_args)
+
     # Active fraction per sweep: full-width (Jacobi) rounds measurably
     # hurt fine-scale quality — every node receives the MEAN of ~S/N
     # pulls against one stale snapshot (measured: DRB1 MAE 19.6 at
@@ -177,7 +201,7 @@ def build_sweep_runner(
         Kp = len(offs_p)
         _, _, sample_block = make_offset_sampler(offs_p, params, zetas, fdt)
 
-        def sweep(xs, key, eta, cooling, pos, rank_arr, cnt_arr):
+        def sweep(xs, key, eta, cooling, pos, rank_arr, cnt_arr, *dks):
             """One sweep: each step proposes one signed offset bucket;
             for every bucket, apply the masked pair update via rolls."""
             k1, k2 = jax.random.split(key, 2)
@@ -191,27 +215,32 @@ def build_sweep_runner(
             # partner-side contribution is recomputed from the receiver's
             # perspective with inputs rolled the other way (measured ~100x
             # faster on TPU v5e).
+            iota = jax.lax.iota(jnp.int32, S)
             dsum = jnp.zeros_like(xs)
             csum = jnp.zeros_like(xs)
             for ki in range(Kp):
                 k = int(offs_p[ki])
 
-                def half(shift, w_bool):
+                def half(shift, w_mine, w_theirs):
                     """Contribution received at each element from the pair
                     (t, t+shift): dx = xs[t] - xs[t+shift].  Partner-in-path
-                    validity is LOCAL: paths are contiguous in step space,
-                    so the partner at t+k is in my path iff rank+k < cnt
-                    (ahead) / rank >= k (behind) — no rolled int arrays
-                    needed (halves the sweep's HBM traffic)."""
-                    pos_o = jnp.roll(pos, shift)
+                    validity needs NO rank/cnt reads: the sampler only
+                    emits a choice whose snapped offset fits the available
+                    rank range (sweep_common.sample_block), and paths are
+                    contiguous in step space, so both my own choice and
+                    the rolled partner's choice guarantee an in-path pair.
+                    The only hazard left is the roll wraparound at the
+                    array ends — an iota compare (generated on the fly,
+                    zero HBM traffic)."""
                     xs_o = jnp.roll(xs, shift)
-                    pair_ok = (
-                        rank_arr - shift < cnt_arr if shift < 0
-                        else rank_arr >= shift
-                    )
-                    d = jnp.abs(pos - pos_o)
-                    valid = pair_ok & (d != 0)
-                    w = jnp.where(valid, w_bool.astype(xs.dtype), fdt(0))
+                    guard = iota < S + shift if shift < 0 else iota >= shift
+                    w_bool = w_mine | (w_theirs & guard)
+                    if use_dk:
+                        d = dks[off_slot[k] * 2 + (0 if shift < 0 else 1)]
+                    else:
+                        d = jnp.abs(pos - jnp.roll(pos, shift))
+                    valid = w_bool & (d != 0)
+                    w = valid.astype(xs.dtype)
                     safe = jnp.where(valid, d, 1.0)
                     mu = jnp.minimum(eta / safe, 1.0)
                     dx = xs - xs_o
@@ -223,9 +252,9 @@ def build_sweep_runner(
 
                 # partner ahead of me (t+k): I chose +k, or they chose -k;
                 # all mask logic derives from rolls of the single i32 sidx
-                d1, w1 = half(-k, (sidx == ki) | (jnp.roll(sidx, -k) == ~ki))
+                d1, w1 = half(-k, sidx == ki, jnp.roll(sidx, -k) == ~ki)
                 # partner behind me (t-k): I chose -k, or they chose +k
-                d2, w2 = half(+k, (sidx == ~ki) | (jnp.roll(sidx, +k) == ki))
+                d2, w2 = half(+k, sidx == ~ki, jnp.roll(sidx, +k) == ki)
                 dsum = dsum + d1 + d2
                 csum = csum + w1 + w2
             return xs + dsum / jnp.maximum(csum, 1)
@@ -252,7 +281,7 @@ def build_sweep_runner(
     # axon client.
 
     @partial(jax.jit, donate_argnums=(0,))
-    def run(xs, x_node_init, base_key, pos, rank_a, cnt_a, *cons):
+    def run(xs, x_node_init, base_key, pos, rank_a, cnt_a, *rest):
         # Nested loops, NOT lax.cond: a conditional inside the loop
         # forces per-iteration copies of every captured operand
         # (profiled at ~26 ms per s32[S]/pred[S] array per sweep);
@@ -260,6 +289,8 @@ def build_sweep_runner(
         # consensus unconditionally removes them.  The sweep count is
         # rounded up to a full period (extra sweeps reuse the final
         # eta — a few bonus updates at the terminal learning rate).
+        dks = rest[:n_dk]
+        cons = rest[n_dk:]
         n_periods = -(-n_sweeps // consensus_every)
 
         if len(sweep_fns) == 1:
@@ -267,7 +298,7 @@ def build_sweep_runner(
                 p_idx, xs = carry
                 r = jnp.minimum(p_idx * consensus_every + rr, n_sweeps - 1)
                 key = jax.random.fold_in(base_key, p_idx * consensus_every + rr)
-                xs = sweep_fns[0](xs, key, etas_j[r], cool_j[r], pos, rank_a, cnt_a)
+                xs = sweep_fns[0](xs, key, etas_j[r], cool_j[r], pos, rank_a, cnt_a, *dks)
                 return (p_idx, xs)
 
             def outer(p_idx, xs):
@@ -284,7 +315,7 @@ def build_sweep_runner(
                     r = jnp.minimum(idx, n_sweeps - 1)
                     key = jax.random.fold_in(base_key, idx)
                     xs = sweep_fns[rr % len(sweep_fns)](
-                        xs, key, etas_j[r], cool_j[r], pos, rank_a, cnt_a
+                        xs, key, etas_j[r], cool_j[r], pos, rank_a, cnt_a, *dks
                     )
                 return gc.fn(xs, *cons)[0]
 
@@ -294,7 +325,7 @@ def build_sweep_runner(
         # (reference: untouched x entries, src/sgd.rs:264-294)
         return gc.to_node_order(xn_sorted, x_node_init, *cons)
 
-    arrays = (pos, rank_arr, cnt_arr) + gc.arrays
+    arrays = (pos, rank_arr, cnt_arr) + dk_args + gc.arrays
 
     def make_state(x0=None):
         x_node0 = np.asarray(

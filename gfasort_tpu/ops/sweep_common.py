@@ -149,7 +149,17 @@ def make_offset_sampler(offs: np.ndarray, params, zetas: np.ndarray, fdt):
         z_unif = 1 + (u * jnp.maximum(avail, 1).astype(fdt)).astype(jnp.int32)
         z = jnp.where(use_zipf, z_zipf, z_unif)
         oidx = snap_to_offset(z)
-        active = act & (forward | backward) & (cnt_a > 1)
+        # Enforce the snapped jump within the available rank range HERE,
+        # where avail is already in registers: downstream sweep halves
+        # then need NO rank/cnt reads — a choice of +offs[ki] (resp.
+        # -offs[ki]) guarantees the partner at that offset is in-path,
+        # and paths are contiguous in step space, so the partner index
+        # s±k is that step (the only remaining hazard is the roll
+        # wraparound at the array ends, guarded by an iota compare).
+        # snap_to_offset(z) <= z <= avail makes this mask a no-op in
+        # practice; it exists so the guarantee never rests on the
+        # arithmetic snap's edge cases.
+        active = act & (forward | backward) & (cnt_a > 1) & (off_of(oidx) <= avail)
         sidx = jnp.where(
             active, jnp.where(backward, ~oidx, oidx), INACTIVE
         ).astype(jnp.int32)

@@ -135,19 +135,22 @@ def build_sweep_nd_runner(
             # my coordinates at the chosen end: [S, D] (select, not gather)
             my_c = jnp.where(lane0, cs[:, 0, :], cs[:, 1, :])
 
+            iota = jax.lax.iota(jnp.int32, S)
             acc = jnp.zeros((S, D), cs.dtype)
             wacc = jnp.zeros((S,), cs.dtype)
             for ki in range(Kp):
                 k = int(offs_p[ki])
 
-                def half(shift, w_bool):
+                def half(shift, w_mine, w_theirs):
+                    # in-path validity comes from the sampler's offset
+                    # clamp; only the roll wraparound needs guarding
+                    # (see ops/sweep.py)
                     pos_o = jnp.roll(my_pos, shift)
                     c_o = jnp.roll(my_c, shift, axis=0)
-                    pair_ok = (
-                        rank_a - shift < cnt_a if shift < 0 else rank_a >= shift
-                    )
+                    guard = iota < S + shift if shift < 0 else iota >= shift
+                    w_bool = w_mine | (w_theirs & guard)
                     d = jnp.abs(my_pos - pos_o)
-                    valid = pair_ok & (d != 0) & w_bool
+                    valid = (d != 0) & w_bool
                     w = valid.astype(cs.dtype)
                     safe = jnp.where(valid, d, 1.0)
                     mu = jnp.minimum(eta / safe, 1.0)
@@ -163,8 +166,8 @@ def build_sweep_nd_runner(
                     upd = (w * r)[:, None] * deltas          # I receive -upd
                     return -upd, w
 
-                d1, w1 = half(-k, (sidx == ki) | (jnp.roll(sidx, -k) == ~ki))
-                d2, w2 = half(+k, (sidx == ~ki) | (jnp.roll(sidx, +k) == ki))
+                d1, w1 = half(-k, sidx == ki, jnp.roll(sidx, -k) == ~ki)
+                d2, w2 = half(+k, sidx == ~ki, jnp.roll(sidx, +k) == ki)
                 acc = acc + d1 + d2
                 wacc = wacc + w1 + w2
             # the chosen end is fixed for the whole sweep: apply the mean

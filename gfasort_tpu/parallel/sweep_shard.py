@@ -141,19 +141,23 @@ def build_sharded_sweep(
             u = jax.random.uniform(jax.random.fold_in(key, 1), (L,), dtype=fdt)
             sidx = sample_block(bits, u, cooling, rank_a, cnt_a, active_frac)
 
+            iota = jax.lax.iota(jnp.int32, L)
             dsum = jnp.zeros_like(xs)
             csum = jnp.zeros_like(xs)
             for ki in range(Kp):
                 k = int(offs_p[ki])
 
-                def half(shift, w_bool):
+                def half(shift, w_mine, w_theirs):
+                    # in-path validity comes from the sampler's offset
+                    # clamp (shards are path-aligned, so a path never
+                    # spans shards); only the per-shard roll wraparound
+                    # needs guarding (see ops/sweep.py)
                     pos_o = jnp.roll(pos, shift)
                     xs_o = jnp.roll(xs, shift)
-                    pair_ok = (
-                        rank_a - shift < cnt_a if shift < 0 else rank_a >= shift
-                    )
+                    guard = iota < L + shift if shift < 0 else iota >= shift
+                    w_bool = w_mine | (w_theirs & guard)
                     d = jnp.abs(pos - pos_o)
-                    valid = pair_ok & (d != 0) & w_bool
+                    valid = (d != 0) & w_bool
                     w = valid.astype(xs.dtype)
                     safe = jnp.where(valid, d, 1.0)
                     mu = jnp.minimum(eta / safe, 1.0)
@@ -163,8 +167,8 @@ def build_sharded_sweep(
                     r_x = (mu * (mag - safe) / 2.0 / mag) * dx
                     return -w * r_x, w
 
-                d1, w1 = half(-k, (sidx == ki) | (jnp.roll(sidx, -k) == ~ki))
-                d2, w2 = half(+k, (sidx == ~ki) | (jnp.roll(sidx, +k) == ki))
+                d1, w1 = half(-k, sidx == ki, jnp.roll(sidx, -k) == ~ki)
+                d2, w2 = half(+k, sidx == ~ki, jnp.roll(sidx, +k) == ki)
                 dsum = dsum + d1 + d2
                 csum = csum + w1 + w2
             return xs + dsum / jnp.maximum(csum, 1)
