@@ -97,6 +97,31 @@ def native_simple_components(graph) -> Optional[List[List[int]]]:
     ]
 
 
+def native_priority_topo(
+    graph, priority_order, use_heads: bool, reverse_edges: bool
+) -> Optional[List[int]]:
+    """Native priority topological order, or None if unavailable."""
+    lib = _lib()
+    if lib is None:
+        return None
+    ef, et, live, steps, path_off, max_id = graph_arrays(graph)
+    if len(live) == 0:
+        return []
+    prio = np.ascontiguousarray(np.asarray(priority_order, dtype=np.int64))
+    out = np.empty(len(live), dtype=np.int64)
+    n = lib.priority_topo_order(
+        len(ef), _p64(ef), _p64(et),
+        len(live), _p64(live), max_id,
+        len(steps), _p64(steps), len(path_off) - 1, _p64(path_off),
+        len(prio), _p64(prio),
+        int(use_heads), int(reverse_edges),
+        _p64(out),
+    )
+    if n < 0:
+        return None
+    return out[:n].tolist()
+
+
 def native_groom(graph, use_bfs: bool) -> Optional[List[int]]:
     """Native groom order (BFS/DFS modes), or None if unavailable."""
     lib = _lib()

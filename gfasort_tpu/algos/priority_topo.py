@@ -34,6 +34,13 @@ def priority_topological_order(
     if not live:
         return []
 
+    if len(graph.edges) >= 2048:
+        from .native_dispatch import native_priority_topo
+
+        out = native_priority_topo(graph, priority_order, use_heads, reverse_edges)
+        if out is not None:
+            return out
+
     rank: Dict[int, int] = {nid: i for i, nid in enumerate(priority_order)}
     max_rank = len(priority_order)
 

@@ -189,6 +189,15 @@ def _declare(lib: ctypes.CDLL) -> None:
         i32, i32,                 # use_heads, use_tails
         pi64,                     # out
     ]
+    lib.priority_topo_order.restype = i64
+    lib.priority_topo_order.argtypes = [
+        i64, pi64, pi64,
+        i64, pi64, i64,
+        i64, pi64, i64, pi64,
+        i64, pi64,                # priority
+        i32, i32,                 # use_heads, reverse_edges
+        pi64,
+    ]
     lib.find_simple_components_native.restype = i64
     lib.find_simple_components_native.argtypes = [
         i64, pi64, pi64,

@@ -349,6 +349,180 @@ int64_t groom_order(int64_t n_edges, const int64_t* e_from,
   return n_live;
 }
 
+// Priority topological sort (algos/priority_topo.py; reference
+// src/graph_ops.rs:1492-1760).  Ready set keyed
+// (rank, is_reverse, node_id); auto reverse mode when backward edges
+// outnumber forward 2:1; post-pass reverses a majority-against output.
+// priority is an array of node ids (rank = index, last occurrence
+// wins, matching the Python dict build).  Returns the emitted count.
+int64_t priority_topo_order(int64_t n_edges, const int64_t* e_from,
+                            const int64_t* e_to, int64_t n_live,
+                            const int64_t* live_ids, int64_t max_id,
+                            int64_t n_steps, const int64_t* steps,
+                            int64_t n_paths, const int64_t* path_off,
+                            int64_t n_prio, const int64_t* priority,
+                            int32_t use_heads, int32_t reverse_edges,
+                            int64_t* out_order) {
+  if (n_live == 0) return 0;
+  Adjacency adj;
+  adj.build(n_edges, e_from, e_to, max_id);
+
+  const int64_t max_rank = n_prio;
+  vector<int64_t> rank_of(max_id + 1, max_rank);
+  for (int64_t i = 0; i < n_prio; i++)
+    if (priority[i] >= 0 && priority[i] <= max_id) rank_of[priority[i]] = i;
+
+  // reverse mode (count_edge_directions, graph.py:346-356)
+  int64_t fwd_cnt = 0, bwd_cnt = 0;
+  for (int64_t i = 0; i < n_edges; i++) {
+    int64_t a = node_id(e_from[i]), b = node_id(e_to[i]);
+    if (a < b) fwd_cnt++;
+    else if (a > b) bwd_cnt++;
+  }
+  const bool reverse_mode = reverse_edges || (bwd_cnt > fwd_cnt * 2);
+
+  // in/out swap under reverse mode
+  const auto& in_off = reverse_mode ? adj.out_off : adj.in_off;
+  const auto& in_idx = reverse_mode ? adj.out_idx : adj.in_idx;
+  const auto& out_off = reverse_mode ? adj.in_off : adj.out_off;
+  const auto& out_idx = reverse_mode ? adj.in_idx : adj.out_idx;
+
+  vector<uint8_t> unvisited_node(max_id + 1, 0);
+  for (int64_t i = 0; i < n_live; i++) unvisited_node[live_ids[i]] = 1;
+  int64_t remaining = n_live;
+
+  vector<uint8_t> visited(max_id + 1, 0), masked(n_edges, 0);
+  vector<int32_t> in_count(adj.n_handles, 0);
+  for (int64_t h = 0; h < adj.n_handles; h++)
+    in_count[h] = (int32_t)(in_off[h + 1] - in_off[h]);
+
+  struct Key {
+    int64_t rank;
+    int64_t second;  // is_reverse for ready; seq for seeds
+    int64_t third;   // node_id for ready; unused (0) for seeds
+    int64_t handle;
+    bool operator>(const Key& o) const {
+      if (rank != o.rank) return rank > o.rank;
+      if (second != o.second) return second > o.second;
+      return third > o.third;
+    }
+  };
+  using KeyHeap = std::priority_queue<Key, vector<Key>, std::greater<Key>>;
+  KeyHeap s, seeds;
+  vector<uint8_t> in_seeds(adj.n_handles, 0);
+  int64_t seeds_seq = 0;
+
+  auto mask_edge = [&](int64_t ei) {
+    if (masked[ei]) return;
+    masked[ei] = 1;
+    int64_t f = adj.ef[ei], t = adj.et[ei];
+    int64_t a = reverse_mode ? f : t;
+    int64_t b = reverse_mode ? flip(t) : flip(f);
+    in_count[a]--;
+    if (b != a) in_count[b]--;
+  };
+  auto enqueue = [&](int64_t h) {
+    s.push({rank_of[node_id(h)], (int64_t)(h & 1), node_id(h), h});
+    int64_t nid = node_id(h);
+    if (unvisited_node[nid]) {
+      unvisited_node[nid] = 0;
+      remaining--;
+    }
+  };
+
+  if (use_heads) {
+    vector<int64_t> inits;
+    if (reverse_mode)
+      find_tails(n_edges, e_from, n_live, live_ids, max_id, inits);
+    else
+      find_heads(n_edges, e_from, e_to, n_live, live_ids, max_id, n_steps,
+                 steps, n_paths, path_off, inits);
+    for (int64_t h : inits) enqueue(h);
+  }
+
+  // lazy fallback heap keyed (rank, is_rev, node_id); deterministic
+  // tie-break by node id (the reference's HashSet min is undefined)
+  KeyHeap unvisited_heap;
+  {
+    vector<Key> init;
+    init.reserve(2 * n_live);
+    for (int64_t i = 0; i < n_live; i++) {
+      int64_t nid = live_ids[i];
+      init.push_back({rank_of[nid], 0, nid, nid << 1});
+      init.push_back({rank_of[nid], 1, nid, (nid << 1) | 1});
+    }
+    unvisited_heap = KeyHeap(std::greater<Key>(), std::move(init));
+  }
+
+  int64_t n_out = 0;
+  while (remaining > 0 || !s.empty()) {
+    if (s.empty()) {
+      bool found_seed = false;
+      if (!seeds.empty()) {
+        Key k = seeds.top();
+        seeds.pop();
+        in_seeds[k.handle] = 0;
+        if (unvisited_node[node_id(k.handle)]) {
+          enqueue(k.handle);
+          found_seed = true;
+        }
+      }
+      if (!found_seed && s.empty() && remaining > 0) {
+        while (!unvisited_node[node_id(unvisited_heap.top().handle)])
+          unvisited_heap.pop();
+        enqueue(unvisited_heap.top().handle);
+      }
+    }
+    while (!s.empty()) {
+      int64_t handle = s.top().handle;
+      s.pop();
+      int64_t nid = node_id(handle);
+      if (!visited[nid]) {
+        visited[nid] = 1;
+        out_order[n_out++] = nid << 1;
+      }
+      // mask all "incoming" edges unconditionally (:1688-1693)
+      for (int64_t k = in_off[handle]; k < in_off[handle + 1]; k++)
+        mask_edge(in_idx[k]);
+      // process "outgoing" edges (:1695-1726)
+      for (int64_t k = out_off[handle]; k < out_off[handle + 1]; k++) {
+        int64_t ei = out_idx[k];
+        if (masked[ei]) continue;
+        mask_edge(ei);
+        // next handle: forward mode follows the edge out of `handle`,
+        // reverse mode follows it backwards (prev_handle)
+        int64_t nxt =
+            reverse_mode
+                ? (adj.et[ei] == handle ? adj.ef[ei] : flip(adj.et[ei]))
+                : adj.next_handle(ei, handle);
+        if (unvisited_node[node_id(nxt)]) {
+          if (in_count[nxt] == 0) {
+            enqueue(nxt);
+          } else if (!in_seeds[nxt]) {
+            seeds.push({rank_of[node_id(nxt)], (int64_t)(nxt & 1),
+                        seeds_seq++, nxt});
+            in_seeds[nxt] = 1;
+          }
+        }
+      }
+    }
+  }
+
+  // post-pass reversal (:1736-1757); skipped in reverse mode
+  if (!reverse_mode && n_out > 0 && n_prio > 1) {
+    int64_t in_order = 0, out_of_order = 0;
+    for (int64_t i = 1; i < n_out; i++) {
+      int64_t pr = rank_of[node_id(out_order[i - 1])];
+      int64_t cr = rank_of[node_id(out_order[i])];
+      if (pr < cr) in_order++;
+      else out_of_order++;
+    }
+    if (out_of_order > in_order)
+      std::reverse(out_order, out_order + n_out);
+  }
+  return n_out;
+}
+
 // Simple-component finder for unchop (algos/unchop.py:33-112; reference
 // src/graph_ops.rs:128-287).  Scans handles in id order, extending a
 // chain while the doubled adjacency stays 1-in/1-out and the

@@ -535,3 +535,29 @@ def test_batched_compact_matches_sequential_randomized():
         for p1, p2 in zip(g1.paths, g2.paths):
             assert np.array_equal(p1.steps, p2.steps), f"trial {trial}: path {p1.name}"
         assert g1.compute_all_path_hashes() == g.compute_all_path_hashes()
+
+
+@pytest.mark.skipif(not _native_available(), reason="no C++ toolchain")
+def test_native_priority_topo_matches_python_randomized():
+    from gfasort_tpu.algos.native_dispatch import native_priority_topo
+
+    rng = random.Random(407)
+    for trial in range(150):
+        g = random_graph(
+            rng,
+            n_nodes=rng.randint(2, 40),
+            n_edges=rng.randint(1, 80),
+            n_paths=rng.randint(0, 3),
+        )
+        live = g.live_node_ids()
+        prio = list(live)
+        rng.shuffle(prio)
+        if rng.random() < 0.3:
+            prio = prio[: len(prio) // 2]  # partial priority: max_rank ties
+        for use_heads in (True, False):
+            for rev in (False, True):
+                want = priority_topological_order(g, prio, use_heads, rev)
+                got = native_priority_topo(g, prio, use_heads, rev)
+                assert got == want, (
+                    f"trial {trial} heads={use_heads} rev={rev}"
+                )
