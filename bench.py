@@ -51,15 +51,18 @@ def main() -> int:
     print(f"[bench] device: {dev}", file=sys.stderr)
     from gfasort_tpu.bench_util import bench_sweep_1d
 
-    # Throughput-mode config (quality gates on DRB1 vs the bit-exact
-    # oracle, scratch logs in repo history): po=2 + rotate=8 runs ~13
-    # offset buckets per sweep with the full set covered every 8 sweeps
-    # (MAE 4.8 at frac=0.5 — equal to the unrotated engine); ce=16
-    # halves the consensus share (the scatter+gather roundtrip is the
-    # remaining serial cost, ~60 ms at S=4M); frac=0.8 trades MAE 4.8
-    # -> 6.3 for 1.6x updates/sweep.
+    # Throughput-mode config (quality gates vs the bit-exact oracle,
+    # scratch logs in repo history): po=2 + rotate=8 runs ~13 offset
+    # buckets per sweep with the full set covered every 8 sweeps;
+    # frac=0.8 trades DRB1 MAE 4.8 -> 6.3 for 1.6x updates/sweep.
+    # ce=32 quarters the consensus share (the gather-sum roundtrip is
+    # the remaining serial cost, ~60 ms at S=4M): at this bench's own
+    # scale the quality is unchanged (100k-node synthetic rank-MAE
+    # 0.0087% -> 0.0092% of N vs ce=16; ce=64 degrades to 0.0129%).
+    # Small graphs are more consensus-sensitive (DRB1 MAE 6.3 -> 14.4),
+    # which is why the CLI quality-mode default stays at ce=8.
     tpu = bench_sweep_1d(
-        pidx, rounds=ROUNDS, repeats=3, consensus_every=16, per_octave=2,
+        pidx, rounds=ROUNDS, repeats=3, consensus_every=32, per_octave=2,
         active_frac=0.8, rotate=8,
     )
     print(f"[bench] sweep engine (headline): {tpu}", file=sys.stderr)
