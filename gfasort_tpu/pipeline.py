@@ -225,9 +225,12 @@ def run_pipeline(
 
         tracer = Tracer()
     result.tracer = tracer
+    import time as _time
+
     for step_num, c in enumerate(pipeline):
         if verbose >= 1:
             log(f"[gfasort] [{step_num + 1}/{len(pipeline)}] {names[c]}")
+        _t0 = _time.perf_counter()
         with tracer.step(
             names[c], step=step_num + 1,
             nodes=graph.node_count(), edges=len(graph.edges),
@@ -248,6 +251,11 @@ def run_pipeline(
                 result.layout_stress = stress
                 if verbose >= 1:
                     log(f"[gfasort] layout stress: {stress:.6f}")
+        if verbose >= 1:
+            log(
+                f"[gfasort]   {names[c]} took "
+                f"{_time.perf_counter() - _t0:.2f}s"
+            )
     if verbose >= 2:
         log(f"[gfasort] step timings: {tracer.summary()}")
     return result
