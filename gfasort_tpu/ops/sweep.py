@@ -280,18 +280,27 @@ def build_sweep_runner(
     # tunnel compile, and multi-MB-constant programs have crashed the
     # axon client.
 
+    # Bounded-dispatch chunking: one XLA program running tens of
+    # seconds has crashed the TPU worker (watchdog); the schedule is
+    # split into dispatches of at most `chunk_periods` consensus
+    # periods, with the absolute period index passed as a traced scalar
+    # so every dispatch reuses ONE compiled program.  The final dispatch
+    # overshoots to a full chunk with the sweep index clamped — the same
+    # terminal-eta convention the period rounding already uses.
+    n_periods = -(-n_sweeps // consensus_every)
+    budget = int(os.environ.get("GFASORT_SWEEP_DISPATCH_ELEMS", 5e8))
+    chunk_periods = max(1, min(n_periods, budget // max(S * consensus_every, 1)))
+    n_dispatch = -(-n_periods // chunk_periods)
+
     @partial(jax.jit, donate_argnums=(0,))
-    def run(xs, x_node_init, base_key, pos, rank_a, cnt_a, *rest):
+    def run_chunk(xs, p0, base_key, pos, rank_a, cnt_a, *rest):
         # Nested loops, NOT lax.cond: a conditional inside the loop
         # forces per-iteration copies of every captured operand
         # (profiled at ~26 ms per s32[S]/pred[S] array per sweep);
         # running `consensus_every` sweeps per outer step and doing the
-        # consensus unconditionally removes them.  The sweep count is
-        # rounded up to a full period (extra sweeps reuse the final
-        # eta — a few bonus updates at the terminal learning rate).
+        # consensus unconditionally removes them.
         dks = rest[:n_dk]
         cons = rest[n_dk:]
-        n_periods = -(-n_sweeps // consensus_every)
 
         if len(sweep_fns) == 1:
             def inner(rr, carry):
@@ -301,7 +310,8 @@ def build_sweep_runner(
                 xs = sweep_fns[0](xs, key, etas_j[r], cool_j[r], pos, rank_a, cnt_a, *dks)
                 return (p_idx, xs)
 
-            def outer(p_idx, xs):
+            def outer(i, xs):
+                p_idx = p0 + i
                 _, xs = jax.lax.fori_loop(0, consensus_every, inner, (p_idx, xs))
                 return gc.fn(xs, *cons)[0]
         else:
@@ -309,7 +319,8 @@ def build_sweep_runner(
             # each sweep's phase — and therefore its offset set — stays
             # STATIC (consensus_every is a multiple of `rotate`, so the
             # phase of slot rr is rr % rotate in every period)
-            def outer(p_idx, xs):
+            def outer(i, xs):
+                p_idx = p0 + i
                 for rr in range(consensus_every):
                     idx = p_idx * consensus_every + rr
                     r = jnp.minimum(idx, n_sweeps - 1)
@@ -319,11 +330,25 @@ def build_sweep_runner(
                     )
                 return gc.fn(xs, *cons)[0]
 
-        xs = jax.lax.fori_loop(0, n_periods, outer, xs)
+        return jax.lax.fori_loop(0, chunk_periods, outer, xs)
+
+    @jax.jit
+    def finish(xs, x_node_init, *rest):
+        cons = rest[n_dk:]
         _, xn_sorted = gc.fn(xs, *cons)
         # nodes with no path steps keep their initial positions
         # (reference: untouched x entries, src/sgd.rs:264-294)
         return gc.to_node_order(xn_sorted, x_node_init, *cons)
+
+    def run(xs, x_node_init, base_key, pos, rank_a, cnt_a, *rest):
+        import jax.numpy as _jnp
+
+        for d in range(n_dispatch):
+            xs = run_chunk(
+                xs, _jnp.int32(d * chunk_periods), base_key,
+                pos, rank_a, cnt_a, *rest,
+            )
+        return finish(xs, x_node_init, *rest)
 
     arrays = (pos, rank_arr, cnt_arr) + dk_args + gc.arrays
 

@@ -193,11 +193,21 @@ def build_sweep_nd_runner(
         x_node = ssum / jnp.maximum(scnt, 1)[:, :, None]
         return x_node[node_a], x_node
 
-    @partial(jax.jit, donate_argnums=(0,))
-    def run(cs, key, pos, rank_a, cnt_a, rev_a, len_a, node_a):
-        # nested loops, not lax.cond (see ops/sweep_common.py rules)
-        n_periods = -(-n_sweeps // consensus_every)
+    # Bounded-dispatch chunking (see ops/sweep.py): one long-running
+    # XLA program has crashed the TPU worker; the schedule splits into
+    # dispatches of at most `chunk_periods` periods, absolute period
+    # index as a traced scalar so all dispatches share one program.
+    # nD sweeps stream ~2x the 1D bytes, so the element budget halves.
+    import os as _os
 
+    n_periods = -(-n_sweeps // consensus_every)
+    budget = int(_os.environ.get("GFASORT_SWEEP_DISPATCH_ELEMS", 5e8)) // 2
+    chunk_periods = max(1, min(n_periods, budget // max(S * consensus_every, 1)))
+    n_dispatch = -(-n_periods // chunk_periods)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def run_chunk(cs, p0, key, pos, rank_a, cnt_a, rev_a, len_a, node_a):
+        # nested loops, not lax.cond (see ops/sweep_common.py rules)
         if len(sweep_fns) == 1:
             def inner(rr, carry):
                 p_idx, cs = carry
@@ -207,13 +217,15 @@ def build_sweep_nd_runner(
                                   cnt_a, rev_a, len_a)
                 return (p_idx, cs)
 
-            def outer(p_idx, cs):
+            def outer(i, cs):
+                p_idx = p0 + i
                 _, cs = jax.lax.fori_loop(0, consensus_every, inner, (p_idx, cs))
                 return consensus(cs, node_a)[0]
         else:
             # rotation: Python-unrolled period keeps each slot's phase
             # (and offset set) static — see ops/sweep.py
-            def outer(p_idx, cs):
+            def outer(i, cs):
+                p_idx = p0 + i
                 for rr in range(consensus_every):
                     idx = p_idx * consensus_every + rr
                     r = jnp.minimum(idx, n_sweeps - 1)
@@ -224,9 +236,20 @@ def build_sweep_nd_runner(
                     )
                 return consensus(cs, node_a)[0]
 
-        cs = jax.lax.fori_loop(0, n_periods, outer, cs)
+        return jax.lax.fori_loop(0, chunk_periods, outer, cs)
+
+    @jax.jit
+    def finish(cs, node_a):
         _, x_node = consensus(cs, node_a)
         return x_node
+
+    def run(cs, key, pos, rank_a, cnt_a, rev_a, len_a, node_a):
+        for d in range(n_dispatch):
+            cs = run_chunk(
+                cs, jnp.int32(d * chunk_periods), key,
+                pos, rank_a, cnt_a, rev_a, len_a, node_a,
+            )
+        return finish(cs, node_a)
 
     arrays = (pos, rank_arr, cnt_arr, rev_arr, len_arr, node_arr)
 

@@ -194,8 +194,21 @@ def build_sharded_sweep(
         x_node = ssum * inv_cnt_a
         return jnp.where(w_a > 0, x_node[idx], xs), x_node
 
-    def device_run(xs, x_node_init, base_key, pos, rank_a, cnt_a, node_a,
-                   inv_cnt_a, has_steps_a):
+    # Bounded-dispatch chunking (see ops/sweep.py): split the schedule
+    # into dispatches of at most `chunk_periods` periods so no single
+    # XLA program runs long enough to trip the worker watchdog; the
+    # absolute period index is a traced scalar, so one compiled program
+    # serves every dispatch.  Per-device cost scales with the shard
+    # length L, not S.
+    import os as _os
+
+    n_periods = -(-n_sweeps // consensus_every)
+    budget = int(_os.environ.get("GFASORT_SWEEP_DISPATCH_ELEMS", 5e8))
+    chunk_periods = max(1, min(n_periods, budget // max(L * consensus_every, 1)))
+    n_dispatch = -(-n_periods // chunk_periods)
+
+    def device_chunk(xs, p0, base_key, pos, rank_a, cnt_a, node_a,
+                     inv_cnt_a):
         xs, pos, rank_a, cnt_a, node_a = (
             xs[0], pos[0], rank_a[0], cnt_a[0], node_a[0]
         )
@@ -205,8 +218,6 @@ def build_sharded_sweep(
 
         # nested loops, not lax.cond (cond copies captured operands
         # every iteration — see ops/sweep_common.py rules)
-        n_periods = -(-n_sweeps // consensus_every)
-
         if len(sweep_fns) == 1:
             def inner(rr, carry):
                 p_idx, xs = carry
@@ -215,13 +226,15 @@ def build_sharded_sweep(
                 xs = sweep_fns[0](xs, key, etas_j[r], cool_j[r], pos, rank_a, cnt_a)
                 return (p_idx, xs)
 
-            def outer(p_idx, xs):
+            def outer(i, xs):
+                p_idx = p0 + i
                 _, xs = jax.lax.fori_loop(0, consensus_every, inner, (p_idx, xs))
                 return consensus(xs, node_a, w_a, inv_cnt_a)[0]
         else:
             # rotation: Python-unrolled period keeps each slot's phase
             # (and offset set) static — see ops/sweep.py
-            def outer(p_idx, xs):
+            def outer(i, xs):
+                p_idx = p0 + i
                 for rr in range(consensus_every):
                     idx = p_idx * consensus_every + rr
                     r = jnp.minimum(idx, n_sweeps - 1)
@@ -231,23 +244,45 @@ def build_sharded_sweep(
                     )
                 return consensus(xs, node_a, w_a, inv_cnt_a)[0]
 
-        xs = jax.lax.fori_loop(0, n_periods, outer, xs)
+        xs = jax.lax.fori_loop(0, chunk_periods, outer, xs)
+        return xs[None]
+
+    def device_finish(xs, x_node_init, node_a, inv_cnt_a, has_steps_a):
+        xs, node_a = xs[0], node_a[0]
+        w_a = (node_a >= 0).astype(xs.dtype)
         _, x_node = consensus(xs, node_a, w_a, inv_cnt_a)
         return jnp.where(has_steps_a, x_node, x_node_init)
 
     shard = NamedSharding(mesh, P(axis))
     repl = NamedSharding(mesh, P())
 
-    run = jax.jit(
+    run_chunk = jax.jit(
         shard_map(
-            device_run,
+            device_chunk,
             mesh=mesh,
             in_specs=(P(axis), P(), P(), P(axis), P(axis), P(axis), P(axis),
-                      P(), P()),
-            out_specs=P(),
+                      P()),
+            out_specs=P(axis),
         ),
         donate_argnums=(0,),
     )
+    run_finish = jax.jit(
+        shard_map(
+            device_finish,
+            mesh=mesh,
+            in_specs=(P(axis), P(), P(axis), P(), P()),
+            out_specs=P(),
+        ),
+    )
+
+    def run(xs, x_node_init, base_key, pos, rank_a, cnt_a, node_a,
+            inv_cnt_a, has_steps_a):
+        for d in range(n_dispatch):
+            xs = run_chunk(
+                xs, jnp.int32(d * chunk_periods), base_key,
+                pos, rank_a, cnt_a, node_a, inv_cnt_a,
+            )
+        return run_finish(xs, x_node_init, node_a, inv_cnt_a, has_steps_a)
 
     arrays = tuple(
         jax.device_put(jnp.asarray(a), shard)
