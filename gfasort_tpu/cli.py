@@ -21,6 +21,7 @@ device engines don't use host threads (the TPU round width is
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -64,8 +65,25 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache: repeat runs on same-shaped
+    graphs skip the (remote) compile, which dominates first-run wall
+    time for the device engines."""
+    try:
+        import jax
+
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("GFASORT_COMPILE_CACHE", "/root/.jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # cache is an optimization; never fail the CLI over it
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    _enable_compile_cache()
 
     try:
         validate_pipeline(args.pipeline)
