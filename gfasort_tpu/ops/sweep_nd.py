@@ -139,6 +139,13 @@ def build_sweep_nd_runner(
             my_c = [
                 jnp.where(lane0, cs[d], cs[D + d]) for d in range(D)
             ]
+            # force ONE materialization of the per-sweep derived rows:
+            # all of these are computed values rolled by every bucket
+            # below; without the barrier XLA may fuse their computation
+            # into each roll (see ops/sweep.py)
+            sidx, my_pos, *my_c = jax.lax.optimization_barrier(
+                (sidx, my_pos, *my_c)
+            )
 
             iota = jax.lax.iota(jnp.int32, S)
             acc = [jnp.zeros((S,), cs.dtype) for _ in range(D)]

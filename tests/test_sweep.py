@@ -113,3 +113,21 @@ def test_sweep_rotation_disabled_for_small_offset_sets(lil_gfa):
     p = replace(YgsParams.from_graph(g).path_sgd, dtype="float32",
                 pow_mode="fast")
     assert path_sgd_sort_sweep(g, p, rotate=4) == path_sgd_sort_sweep(g, p)
+
+
+def test_chunked_dispatch_matches_single(monkeypatch, lil_gfa):
+    """Splitting the schedule into many dispatches must not change the
+    result: same periods, same keys, same consensus cadence (the chunk
+    count divides the period count here, so no overshoot)."""
+    from gfasort_tpu.ops import sweep as sweep_mod
+
+    g = gfa.parse_gfa_numeric(lil_gfa)
+    pidx = PathIndex.from_graph(g)
+    p = replace(
+        YgsParams.from_graph(g).path_sgd,
+        dtype="float32", pow_mode="fast", iter_max=15,
+    )
+    x1 = path_linear_sgd_sweep(g, p, pidx, consensus_every=4)
+    monkeypatch.setenv("GFASORT_SWEEP_DISPATCH_ELEMS", "1")  # 1 period/dispatch
+    x2 = path_linear_sgd_sweep(g, p, pidx, consensus_every=4)
+    np.testing.assert_array_equal(x1, x2)

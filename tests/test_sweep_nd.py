@@ -47,3 +47,25 @@ def test_layout_sweep_empty():
     g = BidirectedGraph()
     lay = path_linear_sgd_layout_sweep(g, LayoutSGDParams())
     assert lay.num_nodes == 0
+
+
+def test_nd_chunked_dispatch_matches_single(monkeypatch, lil_gfa):
+    from dataclasses import replace
+
+    from gfasort_tpu.io import gfa
+    from gfasort_tpu.index import PathIndex
+    from gfasort_tpu.params import LayoutSGDParams
+    from gfasort_tpu.ops.sweep_nd import path_linear_sgd_layout_sweep
+
+    g = gfa.parse_gfa_numeric(lil_gfa)
+    pidx = PathIndex.from_graph(g)
+    p = replace(
+        LayoutSGDParams().derive_from_graph(pidx, 2),
+        dtype="float32", pow_mode="fast", iter_max=7,
+    )
+    l1 = path_linear_sgd_layout_sweep(g, p, pidx, consensus_every=4)
+    monkeypatch.setenv("GFASORT_SWEEP_DISPATCH_ELEMS", "1")
+    l2 = path_linear_sgd_layout_sweep(g, p, pidx, consensus_every=4)
+    import numpy as np
+
+    np.testing.assert_array_equal(l1.coords, l2.coords)
