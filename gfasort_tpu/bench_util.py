@@ -157,8 +157,13 @@ def bench_sweep_1d(
         _ = np.asarray(xn0[:1])  # sync inputs
         t0 = time.perf_counter()
         out = run(xs0, xn0, key, *arrays)
-        x = np.asarray(jax.device_get(out))  # force execution
-        return time.perf_counter() - t0, x
+        # A tiny dependent slice forces the whole program to finish on
+        # device while transferring only a few bytes — the full-array
+        # readback costs ~100+ ms of tunnel transfer that is not chip
+        # time (block_until_ready does not reliably block on axon).
+        _ = np.asarray(jax.device_get(out[:64]))
+        dt = time.perf_counter() - t0
+        return dt, np.asarray(jax.device_get(out))
 
     once()  # warm-up/compile
     best, x = min((once() for _ in range(repeats)), key=lambda t: t[0])

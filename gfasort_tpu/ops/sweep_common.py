@@ -57,18 +57,26 @@ def make_offset_sampler(offs: np.ndarray, params, zetas: np.ndarray, fdt):
 
         return build(0, K)
 
-    def snap_to_offset(z):
-        """Index of the largest offset <= z (arithmetic, gather-free)."""
+    def snap_idx_approx(z):
+        """Arithmetic offset index for z (no correction, NO where-trees).
+        Exact for the dense range; in the log range it can land a bucket
+        or two off where the offset set is not exactly log-uniform
+        (integer rounding; a rotation phase's appended global-max
+        offset).  The sampler's own clamp keeps any overshoot safe, and
+        a one-bucket blur on an already-quantized log grid is the same
+        approximation class as the snapping itself."""
         z = jnp.maximum(z, 1)
         lz = jnp.log2(z.astype(fdt)) - np.float32(np.log2(max(_dense, 1)))
         m = jnp.floor(lz / fdt(_log_step)).astype(jnp.int32)
         idx_log = _dense - 1 + jnp.maximum(m, 0) + 1
-        idx = jnp.where(z <= _dense, z.astype(jnp.int32) - 1,
-                        jnp.clip(idx_log, _dense - 1, K - 1))
-        # the arithmetic index can land a couple of buckets off when the
-        # offset set is not exactly log-uniform (rounding; the appended
-        # global-max offset of a rotation phase set); correct with two
-        # nudges each way — each is a where-tree lookup, no gathers
+        return jnp.where(z <= _dense, z.astype(jnp.int32) - 1,
+                         jnp.clip(idx_log, _dense - 1, K - 1))
+
+    def snap_to_offset(z):
+        """Index of the largest offset <= z (exact; used off the hot
+        path — each nudge is a where-tree over the offset set)."""
+        idx = snap_idx_approx(z)
+        z = jnp.maximum(z, 1)
         for _ in range(2):
             too_big = off_of(idx) > z
             idx = jnp.where(too_big, jnp.maximum(idx - 1, 0), idx)
@@ -111,7 +119,9 @@ def make_offset_sampler(offs: np.ndarray, params, zetas: np.ndarray, fdt):
 
     def zipf_z(u, jump_space, cooling):
         n = jnp.maximum(jump_space, 1).astype(fdt)
-        js_idx = snap_to_offset(jnp.maximum(jump_space, 1))
+        # zeta/eta constants are a coarse bucketing of jump_space; the
+        # approximate index is exactly as meaningful here
+        js_idx = snap_idx_approx(jnp.maximum(jump_space, 1))
         zeta = const_tree(js_idx, _zw, _zc, cooling)
         eta_z = const_tree(js_idx, _ew, _ec, cooling)
         zeta2theta = jnp.where(cooling, fdt(_z2tc), fdt(_z2tw))
@@ -148,7 +158,7 @@ def make_offset_sampler(offs: np.ndarray, params, zetas: np.ndarray, fdt):
         z_zipf = zipf_z(u, jump_space, cooling)
         z_unif = 1 + (u * jnp.maximum(avail, 1).astype(fdt)).astype(jnp.int32)
         z = jnp.where(use_zipf, z_zipf, z_unif)
-        oidx = snap_to_offset(z)
+        oidx = snap_idx_approx(z)
         # Enforce the snapped jump within the available rank range HERE,
         # where avail is already in registers: downstream sweep halves
         # then need NO rank/cnt reads — a choice of +offs[ki] (resp.
@@ -156,9 +166,8 @@ def make_offset_sampler(offs: np.ndarray, params, zetas: np.ndarray, fdt):
         # and paths are contiguous in step space, so the partner index
         # s±k is that step (the only remaining hazard is the roll
         # wraparound at the array ends, guarded by an iota compare).
-        # snap_to_offset(z) <= z <= avail makes this mask a no-op in
-        # practice; it exists so the guarantee never rests on the
-        # arithmetic snap's edge cases.
+        # the approximate snap can overshoot z by a bucket; this mask
+        # both keeps the guarantee and deactivates those rare terms.
         active = act & (forward | backward) & (cnt_a > 1) & (off_of(oidx) <= avail)
         sidx = jnp.where(
             active, jnp.where(backward, ~oidx, oidx), INACTIVE
