@@ -55,14 +55,15 @@ def main() -> int:
     # scratch logs in repo history): po=2 + rotate=8 runs ~13 offset
     # buckets per sweep with the full set covered every 8 sweeps;
     # frac=0.8 trades DRB1 MAE 4.8 -> 6.3 for 1.6x updates/sweep.
-    # ce=32 quarters the consensus share (the gather-sum roundtrip is
-    # the remaining serial cost, ~60 ms at S=4M): at this bench's own
-    # scale the quality is unchanged (100k-node synthetic rank-MAE
-    # 0.0087% -> 0.0092% of N vs ce=16; ce=64 degrades to 0.0129%).
-    # Small graphs are more consensus-sensitive (DRB1 MAE 6.3 -> 14.4),
-    # which is why the CLI quality-mode default stays at ce=8.
+    # ce=48 cuts the consensus share (the gather-sum roundtrip is the
+    # remaining serial cost, ~63 ms at S=4M) to 2 calls per run: at
+    # this bench's own scale the quality degrades only mildly
+    # (100k-node synthetic rank-MAE of N: 0.0087% at ce=16, 0.0092% at
+    # 32, 0.0097% at 48; ce=64's 0.0129% was rejected).  Small graphs
+    # are much more consensus-sensitive (DRB1 MAE 6.3 at ce=16 -> 14.4
+    # at 32), which is why the CLI quality-mode default stays at ce=8.
     tpu = bench_sweep_1d(
-        pidx, rounds=ROUNDS, repeats=3, consensus_every=32, per_octave=2,
+        pidx, rounds=ROUNDS, repeats=3, consensus_every=48, per_octave=2,
         active_frac=0.8, rotate=8,
     )
     print(f"[bench] sweep engine (headline): {tpu}", file=sys.stderr)
