@@ -69,7 +69,7 @@ def main() -> int:
     for nd in sizes:
         mesh = default_mesh(nd)
         run, arrays, make_state, info = build_sharded_sweep(
-            pidx, p, mesh, per_octave=2, consensus_every=32, active_frac=frac, rotate=8
+            pidx, p, mesh, per_octave=2, consensus_every=48, active_frac=frac, rotate=8
         )
         key = jax.random.key(0)
         xs0, xn0 = make_state()
