@@ -257,20 +257,23 @@ int64_t sgd_nd_exact(
             double pos_b = (double)step_pos[sb];
             int64_t i = step_node[sa];
             int64_t j = step_node[sb];
-            if (i < 0 || j < 0) continue;
 
-            // random end choice (rs:1060-1077)
+            // random end choice (rs:1060-1077).  The reference draws
+            // BOTH end coins before the handle-lookup skip
+            // (rs:1089-1096) and uses length 0 for a missing node
+            // (rs:1051-1058 unwrap_or(0)); keep that exact stream order
+            // so a gapped-id input cannot desync the RNG.
             int64_t i_rev = step_rev[sa];
             int64_t j_rev = step_rev[sb];
             int64_t end_a, end_b;
             if (flip_dist.sample(rng) == 1) {
-                pos_a += (double)node_len[i];
+                pos_a += i >= 0 ? (double)node_len[i] : 0.0;
                 end_a = i_rev ? 0 : 1;
             } else {
                 end_a = i_rev ? 1 : 0;
             }
             if (flip_dist.sample(rng) == 1) {
-                pos_b += (double)node_len[j];
+                pos_b += j >= 0 ? (double)node_len[j] : 0.0;
                 end_b = j_rev ? 0 : 1;
             } else {
                 end_b = j_rev ? 1 : 0;
@@ -280,6 +283,7 @@ int64_t sgd_nd_exact(
             if (term_dist == 0.0) continue;
             double mu = eta * (1.0 / term_dist);
             if (mu > 1.0) mu = 1.0;
+            if (i < 0 || j < 0) continue;
 
             double* ci = coords + (i * 2 + end_a) * dims;
             double* cj = coords + (j * 2 + end_b) * dims;

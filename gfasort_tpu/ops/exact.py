@@ -355,23 +355,25 @@ def path_linear_sgd_layout_exact(
             pos_b = float(step_pos[sb])
             i = step_node[sa]
             j = step_node[sb]
-            if i < 0 or j < 0:
-                continue
 
-            # random end choice per term (rs:1060-1077)
+            # random end choice per term (rs:1060-1077).  The reference
+            # draws BOTH end coins before the handle-lookup skip
+            # (rs:1089-1096) and uses length 0 for a node missing from
+            # the graph (rs:1051-1058 unwrap_or(0)); keep that exact
+            # stream order so a gapped-id input cannot desync the RNG.
             hi = step_handle[sa]
             hj = step_handle[sb]
             i_rev = hi & 1
             j_rev = hj & 1
             use_other_a = flip_dist.sample(rng) == 1
             if use_other_a:
-                pos_a += float(node_len[i])
+                pos_a += float(node_len[i]) if i >= 0 else 0.0
                 end_a = 0 if i_rev else 1  # !is_rev
             else:
                 end_a = 1 if i_rev else 0  # is_rev
             use_other_b = flip_dist.sample(rng) == 1
             if use_other_b:
-                pos_b += float(node_len[j])
+                pos_b += float(node_len[j]) if j >= 0 else 0.0
                 end_b = 0 if j_rev else 1
             else:
                 end_b = 1 if j_rev else 0
@@ -382,6 +384,8 @@ def path_linear_sgd_layout_exact(
             mu = eta * (1.0 / term_dist)
             if mu > 1.0:
                 mu = 1.0
+            if i < 0 or j < 0:
+                continue
 
             idx_i = i * 2 + end_a
             idx_j = j * 2 + end_b

@@ -45,6 +45,16 @@ class Xoshiro256Plus:
         self.s2 = next(gen)
         self.s3 = next(gen)
 
+    @classmethod
+    def from_raw_state(cls, s0: int, s1: int, s2: int, s3: int):
+        """Bypass seed_from_u64 (for canonical-vector tests that pin
+        the xoshiro256+ core against the published reference outputs)."""
+        rng = cls.__new__(cls)
+        rng.s0, rng.s1, rng.s2, rng.s3 = (
+            s0 & MASK64, s1 & MASK64, s2 & MASK64, s3 & MASK64,
+        )
+        return rng
+
     def next_u64(self) -> int:
         result = (self.s0 + self.s3) & MASK64
         t = (self.s1 << 17) & MASK64
