@@ -142,23 +142,175 @@ def tarjan_scc(graph: SimpleGraph) -> List[List[int]]:
     return sccs
 
 
-def compact_simple(graph: SimpleGraph) -> int:
-    """ODGI-style compaction on the legacy graph with path-sequence
-    preservation (src/compaction.rs:258-425): merge union-find chain
-    components whose every path usage is a complete run; returns the
-    number of merges.  Delegates to the bidirected compactor, which
-    implements exactly those validations."""
-    from .algos.unchop import compact as _compact
+def _are_perfect_neighbors(graph: SimpleGraph, left: int, right: int) -> bool:
+    """ODGI perfect-neighbor test on the legacy graph
+    (src/compaction.rs:21-64): every path visit to ``left`` must
+    continue to ``right`` (a path may not end at ``left``), and the
+    number of visits to ``right`` must equal those transitions."""
+    left_visits = 0
+    left_to_right = 0
+    for _name, path in graph.paths:
+        for i, node in enumerate(path):
+            if node == left:
+                left_visits += 1
+                if i + 1 < len(path):
+                    if path[i + 1] == right:
+                        left_to_right += 1
+                    else:
+                        return False
+                else:
+                    return False
+    right_visits = sum(
+        1 for _name, path in graph.paths for node in path if node == right
+    )
+    return (
+        left_visits > 0
+        and left_to_right == left_visits
+        and left_to_right == right_visits
+    )
 
-    g = graph.to_bidirected()
-    before = g.node_count()
-    _compact(g)
-    g.renumber_nodes_sequentially()
-    merged = SimpleGraph.from_bidirected(g)
-    graph.nodes = merged.nodes
-    graph.edges = merged.edges
-    graph.paths = merged.paths
-    return before - g.node_count()
+
+def find_simple_components_legacy(graph: SimpleGraph) -> List[List[int]]:
+    """Legacy simple components (src/compaction.rs:7-255): union
+    degree-(1,1) edge pairs that pass the perfect-neighbor test, then
+    order each component by following edges from a chain head; if no
+    complete linear order exists, fall back to sorted-id order (the
+    reference compacts such components anyway, :229-243)."""
+    forward: Dict[int, List[int]] = {}
+    backward: Dict[int, List[int]] = {}
+    for a, b in sorted(graph.edges):
+        forward.setdefault(a, []).append(b)
+        backward.setdefault(b, []).append(a)
+
+    parent: Dict[int, int] = {n: n for n in graph.nodes}
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for node_id in sorted(graph.nodes):
+        nexts = forward.get(node_id, [])
+        if len(nexts) == 1:
+            nxt = nexts[0]
+            if node_id != nxt and len(backward.get(nxt, [])) == 1:
+                if _are_perfect_neighbors(graph, node_id, nxt):
+                    ra, rb = find(node_id), find(nxt)
+                    if ra != rb:
+                        parent[ra] = rb
+
+    comp_map: Dict[int, List[int]] = {}
+    for node_id in sorted(graph.nodes):
+        comp_map.setdefault(find(node_id), []).append(node_id)
+
+    components: List[List[int]] = []
+    for _root, comp in sorted(comp_map.items()):
+        if len(comp) < 2:
+            continue
+        # find a chain head: no in-edge, or single in-edge from outside
+        start = None
+        for node in comp:
+            prevs = backward.get(node, [])
+            if not prevs or (len(prevs) == 1 and prevs[0] not in comp):
+                start = node
+                break
+        ordered = None
+        if start is not None:
+            chain = [start]
+            seen = {start}
+            cur = start
+            while len(chain) < len(comp):
+                found = False
+                for nxt in forward.get(cur, []):
+                    if nxt in comp and nxt not in seen:
+                        in_from_comp = sum(
+                            1 for p in backward.get(nxt, []) if p in comp
+                        )
+                        if in_from_comp == 1:
+                            chain.append(nxt)
+                            seen.add(nxt)
+                            cur = nxt
+                            found = True
+                            break
+                if not found:
+                    break
+            if len(chain) == len(comp):
+                ordered = chain
+        components.append(ordered if ordered is not None else sorted(comp))
+    return components
+
+
+def compact_simple(graph: SimpleGraph) -> int:
+    """ODGI-style compaction on the legacy graph
+    (src/compaction.rs:258-425), independent of the bidirected
+    compactor: merge each simple component into its first node's id
+    (concatenated sequence), rewrite paths by replacing exact
+    consecutive runs of the full component (partial runs are kept
+    as-is, :341-356), remap edges to the merged id and drop internal
+    consecutive-pair edges (:362-394).  Returns the number of nodes
+    eliminated.  Like the reference, path-sequence preservation is
+    validated afterwards (warning only, :400-422)."""
+    import sys
+
+    original_seqs = {
+        name: b"".join(graph.nodes.get(n, b"") for n in path)
+        for name, path in graph.paths
+    }
+
+    components = find_simple_components_legacy(graph)
+    compacted = 0
+    for component in components:
+        if len(component) < 2:
+            continue
+        new_id = component[0]
+        graph.nodes[new_id] = b"".join(
+            graph.nodes.get(n, b"") for n in component
+        )
+        for node_id in component[1:]:
+            graph.nodes.pop(node_id, None)
+
+        comp_len = len(component)
+        new_paths = []
+        for name, path in graph.paths:
+            new_path: List[int] = []
+            i = 0
+            while i < len(path):
+                if path[i] == new_id and i + comp_len <= len(path) and all(
+                    path[i + j] == component[j] for j in range(comp_len)
+                ):
+                    new_path.append(new_id)
+                    i += comp_len
+                else:
+                    new_path.append(path[i])
+                    i += 1
+            new_paths.append((name, new_path))
+        graph.paths = new_paths
+
+        comp_set = set(component)
+        internal = {
+            (component[i], component[i + 1]) for i in range(comp_len - 1)
+        }
+        new_edges: Set[Tuple[int, int]] = set()
+        for f, t in graph.edges:
+            nf = new_id if f in comp_set else f
+            nt = new_id if t in comp_set else t
+            if nf == new_id and nt == new_id and (f, t) in internal:
+                continue
+            new_edges.add((nf, nt))
+        graph.edges = new_edges
+        compacted += comp_len - 1
+
+    for name, path in graph.paths:
+        rec = b"".join(graph.nodes.get(n, b"") for n in path)
+        if rec != original_seqs.get(name, rec):
+            print(
+                f"WARNING: Path {name} sequence changed during compaction!",
+                file=sys.stderr,
+            )
+    return compacted
 
 
 def union_find_components(graph: SimpleGraph) -> List[List[int]]:

@@ -56,22 +56,60 @@ def reconstruct_path_sequence(graph: BidirectedGraph, path_idx: int) -> bytes:
 
 
 def verify_edge_traversal(graph: BidirectedGraph) -> List[str]:
-    """Edges must reference live nodes, and each stored edge must be
-    discoverable from both of its endpoint handles via edges_from /
-    edges_to."""
+    """Edges must reference live nodes, and EVERY stored edge must be
+    discoverable from both of its endpoint handles.  The reference's
+    legacy suite checks all edges (src/legacy_graph_ops.rs:916-1016);
+    the AdjacencyIndex makes the full check O(E), so no sampling."""
+    from .algos.adjacency import AdjacencyIndex
+
     errors = []
     n = len(graph.nodes)
-    for f, t in graph.edges:
+    for f, t in sorted(graph.edges):
         for h, side in ((f, "from"), (t, "to")):
             nid = H.node_id(h)
             if nid >= n or graph.nodes[nid] is None:
                 errors.append(f"Edge {H.fmt(f)}->{H.fmt(t)}: dead {side} node {nid}")
-    # spot-check traversability on up to 100 edges (full check is O(E^2))
-    for f, t in list(graph.edges)[:100]:
-        if t not in graph.edges_from(f):
-            errors.append(f"Edge {H.fmt(f)}->{H.fmt(t)} not found via edges_from")
-        if f not in graph.edges_to(t):
-            errors.append(f"Edge {H.fmt(f)}->{H.fmt(t)} not found via edges_to")
+    # full traversability check through the AdjacencyIndex (the
+    # structure the production algorithms traverse), validated against
+    # an inline first-principles transcription of the complement
+    # matching rules (src/graph_ops.rs:1369-1392) — not against the
+    # index's own construction:
+    adj = AdjacencyIndex(graph)
+    for i, (f, t) in enumerate(adj.edges):
+        # membership predicate must accept both stored and complement form
+        if not graph.has_edge(f, t):
+            errors.append(f"Edge {H.fmt(f)}->{H.fmt(t)} fails has_edge")
+        if not graph.has_edge(H.flip(t), H.flip(f)):
+            errors.append(
+                f"Edge {H.fmt(f)}->{H.fmt(t)} complement fails has_edge"
+            )
+        # following the edge out of each endpoint handle must land on
+        # the right neighbour
+        if adj.next_handle(i, f) != t:
+            errors.append(f"Edge {H.fmt(f)}->{H.fmt(t)}: next_handle(from) wrong")
+        if adj.prev_handle(i, t) != f:
+            errors.append(f"Edge {H.fmt(f)}->{H.fmt(t)}: prev_handle(to) wrong")
+    # every adjacency entry must satisfy the matching rule it claims,
+    # and the totals must equal the count implied by the edge set
+    n_out = n_in = 0
+    for h, idxs in adj.outgoing.items():
+        for i in idxs:
+            f, t = adj.edges[i]
+            if not (f == h or H.flip(t) == h):
+                errors.append(f"outgoing({H.fmt(h)}) lists non-matching edge {H.fmt(f)}->{H.fmt(t)}")
+            n_out += 1
+    for h, idxs in adj.incoming.items():
+        for i in idxs:
+            f, t = adj.edges[i]
+            if not (t == h or H.flip(f) == h):
+                errors.append(f"incoming({H.fmt(h)}) lists non-matching edge {H.fmt(f)}->{H.fmt(t)}")
+            n_in += 1
+    want_out = sum(1 + (H.flip(t) != f) for f, t in adj.edges)
+    want_in = sum(1 + (H.flip(f) != t) for f, t in adj.edges)
+    if n_out != want_out:
+        errors.append(f"outgoing entry count {n_out} != expected {want_out}")
+    if n_in != want_in:
+        errors.append(f"incoming entry count {n_in} != expected {want_in}")
     return errors
 
 

@@ -116,3 +116,71 @@ def test_union_find_components():
     # 3->4 and 3->5 break the chain at 3 (outdeg 2)
     chain = next(c for c in comps if 1 in c)
     assert chain == [1, 2, 3]
+
+
+def test_compact_simple_merges_chain():
+    """Legacy compaction (src/compaction.rs:258-425): a perfect linear
+    chain merges into its first node's id with concatenated sequence,
+    paths rewritten, internal edges dropped."""
+    from gfasort_tpu.compat import compact_simple
+
+    sg = SimpleGraph(
+        nodes={1: b"AC", 2: b"GT", 3: b"TT", 4: b"A"},
+        edges={(1, 2), (2, 3), (3, 4)},
+        paths=[("p", [1, 2, 3, 4]), ("q", [1, 2, 3, 4])],
+    )
+    before = {n: b"".join(sg.nodes[i] for i in p) for n, p in sg.paths}
+    merged = compact_simple(sg)
+    assert merged == 3
+    assert set(sg.nodes) == {1}
+    assert sg.nodes[1] == b"ACGTTTA"
+    assert sg.paths == [("p", [1]), ("q", [1])]
+    assert sg.edges == set()
+    after = {n: b"".join(sg.nodes[i] for i in p) for n, p in sg.paths}
+    assert after == before
+
+
+def test_compact_simple_respects_partial_path_use():
+    """A node pair is NOT a perfect-neighbor pair when some path visits
+    left without continuing to right (src/compaction.rs:21-64)."""
+    from gfasort_tpu.compat import compact_simple
+
+    sg = SimpleGraph(
+        nodes={1: b"A", 2: b"C", 3: b"G"},
+        edges={(1, 2), (2, 3)},
+        paths=[("p", [1, 2, 3]), ("q", [2])],  # q ends at 2
+    )
+    merged = compact_simple(sg)
+    # 1->2 merges (all visits to 1 continue to 2, visits(2)=2 != 1 ->
+    # actually 1->2 fails: left_to_right(1) == 1 but right_visits == 2
+    assert merged == 0
+    assert set(sg.nodes) == {1, 2, 3}
+
+
+def test_compact_simple_branch_blocks_merge():
+    from gfasort_tpu.compat import compact_simple
+
+    sg = SimpleGraph(
+        nodes={1: b"A", 2: b"C", 3: b"G", 4: b"T"},
+        edges={(1, 2), (2, 3), (2, 4)},
+        paths=[("p", [1, 2, 3]), ("q", [1, 2, 4])],
+    )
+    merged = compact_simple(sg)
+    # 1->2 is degree-eligible and perfect (all 1-visits go to 2,
+    # visits(2)=2 == transitions), so 1,2 merge; 2's branch stops there
+    assert merged == 1
+    assert 3 in sg.nodes and 4 in sg.nodes
+    assert sg.nodes[1] == b"AC"
+    assert sg.paths[0] == ("p", [1, 3])
+    assert (1, 3) in sg.edges and (1, 4) in sg.edges
+
+
+def test_compact_simple_preserves_path_sequences_on_fixture(lil_gfa):
+    from gfasort_tpu.compat import compact_simple
+
+    g = gfa.parse_gfa_numeric(lil_gfa)
+    sg = SimpleGraph.from_bidirected(g)
+    before = {n: b"".join(sg.nodes[i] for i in p) for n, p in sg.paths}
+    compact_simple(sg)
+    after = {n: b"".join(sg.nodes.get(i, b"") for i in p) for n, p in sg.paths}
+    assert after == before
