@@ -78,6 +78,7 @@ def choose_grid_geometry(
     tile: int,
     seg_tiles: int,
     max_window: int,
+    path_of_step: Optional[np.ndarray] = None,
 ) -> tuple:
     """Pick (D, W, m) from tile-min statistics: stride = median per-tile
     node advance (lane-rounded), window = stride + typical span + the
@@ -101,6 +102,16 @@ def choose_grid_geometry(
 
     span_p90 = float(np.percentile(spans[live_tile], 90.0))
     ok = live_tile & (spans <= 2 * span_p90 + _LANE)  # non-straddlers
+    if path_of_step is not None:
+        # drift/stride stats must not mix tiles across path restarts
+        pp = np.full(g * T, -1, dtype=np.int64)
+        pp[:S] = path_of_step
+        tp = pp.reshape(g, T)
+        first_live = np.argmax(live_t, axis=1)
+        tile_path = np.where(live_tile, tp[np.arange(g), first_live], -1)
+        same_path = np.ones(g, dtype=bool)
+        same_path[1:] = tile_path[1:] == tile_path[:-1]
+        ok = ok & same_path
 
     dm = np.diff(mins)
     dl = dm[ok[1:] & ok[:-1]]
@@ -110,19 +121,29 @@ def choose_grid_geometry(
 
     span_p99 = float(np.percentile(spans[ok], 99.0)) if ok.any() else 1.0
     # measured per-segment anchor drift: spread of (min_j - j_rel*D)
-    # within each segment, over non-straddler tiles
+    # within each segment, grouped per path so a mid-segment path
+    # restart (rel jumps by ~N) does not inflate the stat — mixed
+    # segments get a majority-piece anchor in plan_grid instead
     n_seg = -(-g // seg_tiles)
-    rel = (mins - (np.arange(g, dtype=np.int64) % seg_tiles) * D).astype(
-        np.float64
-    )
-    rel[~ok] = np.nan
-    rel_pad = np.full(n_seg * seg_tiles, np.nan)
-    rel_pad[:g] = rel
-    rseg = rel_pad.reshape(n_seg, seg_tiles)
-    with np.errstate(all="ignore"):
-        drift = np.nanmax(rseg, axis=1) - np.nanmin(rseg, axis=1)
-    drift = drift[np.isfinite(drift)]
-    drift_p99 = float(np.percentile(drift, 99.0)) if len(drift) else 0.0
+    rel = mins - (np.arange(g, dtype=np.int64) % seg_tiles) * D
+    seg_of_tile = np.arange(g) // seg_tiles
+    if path_of_step is not None:
+        grp_path = tile_path
+    else:
+        grp_path = np.zeros(g, dtype=np.int64)
+    sel = ok & (grp_path >= 0)
+    if sel.any():
+        keys = seg_of_tile[sel] * (int(grp_path.max()) + 2) + grp_path[sel]
+        _, inv = np.unique(keys, return_inverse=True)
+        ngrp = int(inv.max()) + 1
+        gmin = np.full(ngrp, np.iinfo(np.int64).max)
+        gmax = np.full(ngrp, np.iinfo(np.int64).min)
+        np.minimum.at(gmin, inv, rel[sel])
+        np.maximum.at(gmax, inv, rel[sel])
+        drift = (gmax - gmin).astype(np.float64)
+        drift_p99 = float(np.percentile(drift, 99.0)) if len(drift) else 0.0
+    else:
+        drift_p99 = 0.0
 
     m = max(2, -(-int(D + span_p99 + drift_p99 + _LANE) // D))
     m = min(m, max(2, max_window // D))
@@ -138,11 +159,18 @@ def plan_grid(
     W: int,
     n_seg: Optional[int] = None,     # pad segment count (shard stacking)
     n_oob_pad: Optional[int] = None,  # pad oob count (shard stacking)
+    path_of_step: Optional[np.ndarray] = None,
 ) -> GridPlan:
     """Lay one step array onto the (D, W) grid with fixed-length
     segments of ``seg_tiles`` tiles: per segment the anchor is the best
     (largest safe) base so every live tile's window starts at or below
-    its min node; tiles that still miss go to the element fallback."""
+    its min node; tiles that still miss go to the element fallback.
+
+    A path boundary inside a segment makes one anchor impossible for
+    both sides (the next path restarts near node 0); with
+    ``path_of_step`` given, such segments pick the candidate anchor
+    that covers the most tiles instead of the poisoned global min
+    (measured on the bench workload: coverage 96.9% -> 99.8%)."""
     S = int(step_node.shape[0])
     N = int(n_nodes)
     T = int(tile)
@@ -156,6 +184,7 @@ def plan_grid(
     live_tile = live_t.any(axis=1)
     big = np.where(live_t, tiles, np.iinfo(np.int64).max)
     mins = np.where(live_tile, big.min(axis=1), np.iinfo(np.int64).max)
+    maxs = np.where(live_t, tiles, -1).max(axis=1)
 
     nseg_real = -(-g // seg_tiles)
     g_pad = nseg_real * seg_tiles
@@ -164,22 +193,64 @@ def plan_grid(
     # below every such tile's min.  Straddlers (tiles whose span cannot
     # fit any window, e.g. across a path boundary) are excluded so one
     # bad tile does not push a whole segment out of band.
-    spans = np.where(live_t, tiles, -1).max(axis=1) - mins + 1
+    spans = maxs - mins + 1
     ok = live_tile & (spans <= W - D)
     rel = mins - (np.arange(g, dtype=np.int64) % seg_tiles) * D
-    rel = np.where(ok, rel, np.iinfo(np.int64).max)
+    rel_m = np.where(ok, rel, np.iinfo(np.int64).max)
     rel_pad = np.full(g_pad, np.iinfo(np.int64).max, dtype=np.int64)
-    rel_pad[:g] = rel
+    rel_pad[:g] = rel_m
     anchors = rel_pad.reshape(nseg_real, seg_tiles).min(axis=1)
     anchors = np.where(anchors == np.iinfo(np.int64).max, 0, anchors)
-    # clamp into the padded node buffer (bounds hold for every chunk)
-    a_max = N  # n_pad = N + W + seg_tiles*D covers anchor <= N
-    anchors = np.clip(anchors, 0, a_max).astype(np.int32)
+
+    if path_of_step is not None:
+        # path id per tile (first live step's path) -> per-segment
+        # boundary detection
+        pp = np.full(S_pad, -1, dtype=np.int64)
+        pp[:S] = path_of_step
+        tp = pp.reshape(g, T)
+        first_live = np.argmax(live_t, axis=1)
+        tile_path = tp[np.arange(g), first_live]
+        tile_path = np.where(live_tile, tile_path, -1)
+        tp_pad = np.full(g_pad, -1, dtype=np.int64)
+        tp_pad[:g] = tile_path
+        tp_seg = tp_pad.reshape(nseg_real, seg_tiles)
+        lo = np.where(tp_seg >= 0, tp_seg, np.iinfo(np.int64).max).min(axis=1)
+        hi = tp_seg.max(axis=1)
+        mixed = np.flatnonzero((hi >= 0) & (lo != hi))  # >1 path in segment
+        rel_seg = rel_pad.reshape(nseg_real, seg_tiles)
+        mins_pad = np.full(g_pad, 0, dtype=np.int64)
+        mins_pad[:g] = np.where(live_tile, mins, 0)
+        maxs_pad = np.full(g_pad, -1, dtype=np.int64)
+        maxs_pad[:g] = maxs
+        ok_pad = np.zeros(g_pad, dtype=bool)
+        ok_pad[:g] = ok
+        jrel = (np.arange(g_pad) % seg_tiles).astype(np.int64)
+        for k in mixed:
+            sl = slice(k * seg_tiles, (k + 1) * seg_tiles)
+            cands = np.unique(rel_seg[k][rel_seg[k] != np.iinfo(np.int64).max])
+            if len(cands) == 0:
+                continue
+            best_a, best_n = anchors[k], -1
+            for a in cands:
+                base = a + jrel[sl] * D
+                fit = ok_pad[sl] & (mins_pad[sl] >= base) & (maxs_pad[sl] < base + W)
+                n_fit = int(fit.sum())
+                if n_fit > best_n:
+                    best_a, best_n = a, n_fit
+            anchors[k] = best_a
+
+    # anchors are stored SHIFTED by the static front pad OFF =
+    # seg_tiles*D so mixed segments may anchor below node 0 (a path
+    # restarting mid-segment needs base_j = a + j_rel*D with a < 0);
+    # clamp into the padded buffer [0, OFF + N]
+    OFF = seg_tiles * D
+    anchors = np.clip(anchors, -OFF, N).astype(np.int64)
 
     seg_of_tile = np.arange(g) // seg_tiles
-    bases = anchors.astype(np.int64)[seg_of_tile] + (
+    bases = anchors[seg_of_tile] + (
         np.arange(g, dtype=np.int64) % seg_tiles
     ) * D
+    anchors = (anchors + OFF).astype(np.int32)  # buffer coordinates
 
     lidx = tiles - bases[:, None]
     in_band = live_t & (lidx >= 0) & (lidx < W)
@@ -225,6 +296,7 @@ class GridConsensus:
     window: int
     stride: int
     n_pad: int
+    node_offset: int  # front pad OFF: raw fwd sums live at [OFF, OFF+N)
 
 
 def make_grid_fns(
@@ -249,7 +321,10 @@ def make_grid_fns(
     S_pad = g * T
     Wh = W // _LANE
     m = W // D
-    n_pad = N + W + seg_tiles * D + D
+    # node buffer: [OFF | N nodes | W + seg_tiles*D slack]; anchors
+    # arrive in buffer coordinates (plan_grid adds OFF)
+    OFF = seg_tiles * D
+    n_pad = OFF + N + W + seg_tiles * D + D
     HIGH = jax.lax.Precision.HIGHEST
 
     def _one_hots(lidx_a):
@@ -296,13 +371,14 @@ def make_grid_fns(
             off = anchors_a[k]
             for r in range(m):
                 chunk = wsum[:, js : js + ln, r * D : (r + 1) * D].reshape(R, L)
-                seg = lax.dynamic_slice(ssum, (0, off + r * D), (R, L))
+                o = (off + r * D).astype(jnp.int32)
+                seg = lax.dynamic_slice(ssum, (jnp.int32(0), o), (R, L))
                 ssum = lax.dynamic_update_slice(
-                    ssum, seg + chunk, (0, off + r * D)
+                    ssum, seg + chunk, (jnp.int32(0), o)
                 )
         # exact element fallback for out-of-band steps (sentinel points
-        # at the padded zero slot / row n_pad-1 scratch)
-        ssum = ssum.at[:, oob_nodes_a].add(xs_pad[:, oob_steps_a])
+        # at the padded zero slot / node slot N)
+        ssum = ssum.at[:, OFF + oob_nodes_a].add(xs_pad[:, oob_steps_a])
         return ssum[0] if one_row else ssum
 
     def bwd(x_node, xs, lidx_a, anchors_a, oob_steps_a, oob_nodes_a):
@@ -312,7 +388,7 @@ def make_grid_fns(
         xs2 = xs.reshape(1, S) if one_row else xs
         xn2 = x_node.reshape(1, N) if one_row else x_node
         R = xs2.shape[0]
-        x_ext = jnp.zeros((R, n_pad), jnp.float32).at[:, :N].set(
+        x_ext = jnp.zeros((R, n_pad), jnp.float32).at[:, OFF : OFF + N].set(
             xn2.astype(jnp.float32)
         )
 
@@ -326,13 +402,14 @@ def make_grid_fns(
             L = ln * D
             off = anchors_a[k]
             parts = [
-                lax.dynamic_slice(x_ext, (0, off + r * D), (R, L)).reshape(
-                    R, ln, D
-                )
+                lax.dynamic_slice(
+                    x_ext, (jnp.int32(0), (off + r * D).astype(jnp.int32)), (R, L)
+                ).reshape(R, ln, D)
                 for r in range(m)
             ]
             xwin = lax.dynamic_update_slice(
-                xwin, jnp.concatenate(parts, axis=2), (0, js, 0)
+                xwin, jnp.concatenate(parts, axis=2),
+                (jnp.int32(0), jnp.int32(js), jnp.int32(0)),
             )
 
         e = lax.dot_general(
@@ -378,8 +455,12 @@ def build_grid_consensus(
     g = -(-S // T)
     n_seg = -(-g // seg_tiles)
 
-    D, W, m = choose_grid_geometry(step_node, T, seg_tiles, max_window)
-    plan = plan_grid(step_node, N, T, seg_tiles, D, W)
+    D, W, m = choose_grid_geometry(
+        step_node, T, seg_tiles, max_window, path_of_step
+    )
+    plan = plan_grid(
+        step_node, N, T, seg_tiles, D, W, path_of_step=path_of_step
+    )
 
     cnt = np.bincount(step_node.astype(np.int64), minlength=N).astype(np.float64)
     inv_cnt_np = (1.0 / np.maximum(cnt, 1.0)).astype(dtype)
@@ -395,9 +476,11 @@ def build_grid_consensus(
         jnp.asarray(cnt > 0),
     )
 
+    OFF = seg_tiles * D
+
     def fn(xs, lidx_a, anchors_a, oob_s, oob_n, inv_cnt_a, *_rest):
         ssum = fwd(xs, lidx_a, anchors_a, oob_s, oob_n)
-        x_node = (ssum[..., :N] * inv_cnt_a).astype(xs.dtype)
+        x_node = (ssum[..., OFF : OFF + N] * inv_cnt_a).astype(xs.dtype)
         xs_new = bwd(x_node, xs, lidx_a, anchors_a, oob_s, oob_n)
         return xs_new, x_node
 
@@ -410,5 +493,5 @@ def build_grid_consensus(
     return GridConsensus(
         fn=fn, fwd=fwd, bwd=bwd, arrays=arrays, to_node_order=to_node_order,
         coverage=plan.coverage, n_segments=n_seg, tile=T, window=W,
-        stride=D, n_pad=n_pad,
+        stride=D, n_pad=n_pad, node_offset=OFF,
     )

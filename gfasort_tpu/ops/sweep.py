@@ -72,6 +72,40 @@ class SweepResult:
     updates_est: int
 
 
+def select_consensus(step_node: np.ndarray, n_nodes: int, dtype,
+                     path_of_step=None):
+    """Pick the node-consensus implementation for a step->node map.
+
+    The grid consensus (ops/grid_consensus.py, ~15 ms at S=4M) needs
+    band locality — each tile of consecutive steps must reference a
+    narrow node window on a uniform-stride grid.  Pangenome paths have
+    it after any reasonable sort; adversarial or shuffled inputs do
+    not.  Policy: build the grid plan (cheap, host-side), use it when
+    coverage ≥ 0.97 and the window is economical; otherwise fall back
+    to the gather-sum consensus (ops/node_sum.py, ~64 ms but
+    locality-independent).  Override with GFASORT_CONSENSUS=
+    {auto,grid,gather}.
+    """
+    from .node_sum import build_gather_consensus
+
+    mode = os.environ.get("GFASORT_CONSENSUS", "auto")
+    if mode != "gather" and np.dtype(dtype) == np.float32:
+        # the grid dots accumulate in f32; f64 runs keep gather-sum
+        from .grid_consensus import build_grid_consensus
+
+        gx = build_grid_consensus(
+            step_node, n_nodes, path_of_step=path_of_step, dtype=dtype
+        )
+        good = (
+            gx.fn is not None
+            and gx.coverage >= 0.97
+            and gx.window <= 4096
+        )
+        if mode == "grid" or good:
+            return gx
+    return build_gather_consensus(step_node, n_nodes, dtype)
+
+
 def build_sweep_runner(
     pidx: PathIndex,
     params: PathSGDParams,
@@ -263,14 +297,7 @@ def build_sweep_runner(
 
     sweep_fns = [make_sweep_fn(po_) for po_ in phase_offsets]
 
-    # Node consensus: scatter-free gather-sum over static power-of-two
-    # degree classes (ops/node_sum.py) — 21 ms vs 60 ms for the old
-    # scatter-mean at S=4M.  Node state lives in degree-sorted order
-    # between consensuses; conversion to original node order happens
-    # once at the end of the run.
-    from .node_sum import build_gather_consensus
-
-    gc = build_gather_consensus(pidx.step_node_idx, N, dtype)
+    gc = select_consensus(pidx.step_node_idx, N, dtype, pidx.step_path)
     n_cons = len(gc.arrays)
 
     # NOTE: the big static arrays are ARGUMENTS, not closures — XLA

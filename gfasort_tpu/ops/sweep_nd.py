@@ -201,19 +201,45 @@ def build_sweep_nd_runner(
     cnt_node = np.bincount(pidx.step_node_idx, minlength=N)
     inv_cnt = jnp.asarray((1.0 / np.maximum(cnt_node, 1)).astype(dtype))
 
-    def consensus(cs, node_a):
-        """Mean per (node, end, dim) over steps; orientation maps a
-        step's storage lane to the node's physical end (cs is stored in
-        PHYSICAL end order), so the scatter key is just the node.  One
-        [S]-row scatter-add per (end, dim) row + one [S]-row gather
-        back."""
-        rows_sum = [
-            jnp.zeros((N,), cs.dtype).at[node_a].add(cs[r])
-            for r in range(2 * D)
-        ]
-        x_node = jnp.stack([rs * inv_cnt for rs in rows_sum], axis=0)
-        cs_new = jnp.stack([x_node[r][node_a] for r in range(2 * D)], axis=0)
-        return cs_new, x_node
+    # Node consensus over the 2D rows.  The grid consensus
+    # (ops/grid_consensus.py) shares one factorized one-hot across all
+    # rows, replacing 2D scatter-adds + 2D gathers per call; the
+    # scatter fallback keeps working for poor-locality inputs (see
+    # ops/sweep.select_consensus for the policy).
+    from .sweep import select_consensus
+    from .grid_consensus import GridConsensus
+
+    gcx = select_consensus(pidx.step_node_idx, N, dtype, pidx.step_path)
+    use_grid = isinstance(gcx, GridConsensus)
+
+    if use_grid:
+        cons_arrays = gcx.arrays
+
+        OFF = gcx.node_offset
+
+        def consensus(cs, node_a, *cons):
+            """Mean per (node, end, dim); cs rows are PHYSICAL-end
+            coordinate rows, so the key is just the node."""
+            lidx_a, anchors_a, oob_s, oob_n, inv_cnt_a = cons[:5]
+            ssum = gcx.fwd(cs, lidx_a, anchors_a, oob_s, oob_n)
+            x_node = (ssum[:, OFF : OFF + N] * inv_cnt_a[None, :]).astype(
+                cs.dtype
+            )
+            cs_new = gcx.bwd(x_node, cs, lidx_a, anchors_a, oob_s, oob_n)
+            return cs_new, x_node
+    else:
+        cons_arrays = ()
+
+        def consensus(cs, node_a, *cons):
+            """Scatter fallback: one [S]-row scatter-add per (end, dim)
+            row + one [S]-row gather back."""
+            rows_sum = [
+                jnp.zeros((N,), cs.dtype).at[node_a].add(cs[r])
+                for r in range(2 * D)
+            ]
+            x_node = jnp.stack([rs * inv_cnt for rs in rows_sum], axis=0)
+            cs_new = jnp.stack([x_node[r][node_a] for r in range(2 * D)], axis=0)
+            return cs_new, x_node
 
     # Bounded-dispatch chunking (see ops/sweep.py): one long-running
     # XLA program has crashed the TPU worker; the schedule splits into
@@ -228,7 +254,8 @@ def build_sweep_nd_runner(
     n_dispatch = -(-n_periods // chunk_periods)
 
     @partial(jax.jit, donate_argnums=(0,))
-    def run_chunk(cs, p0, key, pos, rank_a, cnt_a, rev_a, len_a, node_a):
+    def run_chunk(cs, p0, key, pos, rank_a, cnt_a, rev_a, len_a, node_a,
+                  *cons):
         # nested loops, not lax.cond (see ops/sweep_common.py rules)
         if len(sweep_fns) == 1:
             def inner(rr, carry):
@@ -242,7 +269,7 @@ def build_sweep_nd_runner(
             def outer(i, cs):
                 p_idx = p0 + i
                 _, cs = jax.lax.fori_loop(0, consensus_every, inner, (p_idx, cs))
-                return consensus(cs, node_a)[0]
+                return consensus(cs, node_a, *cons)[0]
         else:
             # rotation: Python-unrolled period keeps each slot's phase
             # (and offset set) static — see ops/sweep.py
@@ -256,33 +283,44 @@ def build_sweep_nd_runner(
                         cs, kk, etas_j[r], cool_j[r], pos, rank_a, cnt_a,
                         rev_a, len_a
                     )
-                return consensus(cs, node_a)[0]
+                return consensus(cs, node_a, *cons)[0]
 
         return jax.lax.fori_loop(0, chunk_periods, outer, cs)
 
-    @jax.jit
-    def finish(cs, node_a):
-        _, x_node = consensus(cs, node_a)
-        return x_node
+    has_steps_j = jnp.asarray(cnt_node > 0)
 
-    def run(cs, key, pos, rank_a, cnt_a, rev_a, len_a, node_a):
+    @jax.jit
+    def finish(cs, cs_node_init, node_a, *cons):
+        _, x_node = consensus(cs, node_a, *cons)
+        # nodes with no path steps keep their initial coordinates
+        # (reference: untouched entries, src/sgd.rs:828-854)
+        return jnp.where(has_steps_j[None, :], x_node, cs_node_init)
+
+    def run(cs, cs_node_init, key, pos, rank_a, cnt_a, rev_a, len_a,
+            node_a, *cons):
         for d in range(n_dispatch):
             cs = run_chunk(
                 cs, jnp.int32(d * chunk_periods), key,
-                pos, rank_a, cnt_a, rev_a, len_a, node_a,
+                pos, rank_a, cnt_a, rev_a, len_a, node_a, *cons,
             )
-        return finish(cs, node_a)
+        return finish(cs, cs_node_init, node_a, *cons)
 
-    arrays = (pos, rank_arr, cnt_arr, rev_arr, len_arr, node_arr)
+    arrays = (pos, rank_arr, cnt_arr, rev_arr, len_arr, node_arr) + cons_arrays
 
     def make_state(init_node_coords: np.ndarray):
-        """init_node_coords: [2N, D] (node-end rows) -> [2D, S] SoA."""
+        """init_node_coords: [2N, D] (node-end rows) -> ([2D, S] SoA
+        step state, [2D, N] node-order init for stepless passthrough)."""
         nc = np.asarray(init_node_coords, dtype=dtype).reshape(N, 2, D)
         per_step = nc[pidx.step_node_idx]          # [S, 2, D]
-        return jnp.asarray(
+        cs0 = jnp.asarray(
             np.ascontiguousarray(per_step.transpose(1, 2, 0).reshape(2 * D, -1)),
             dtype=fdt,
         )
+        cs_node0 = jnp.asarray(
+            np.ascontiguousarray(nc.transpose(1, 2, 0).reshape(2 * D, N)),
+            dtype=fdt,
+        )
+        return cs0, cs_node0
 
     info = {
         "n_sweeps": n_sweeps,
@@ -323,8 +361,8 @@ def path_linear_sgd_layout_sweep(
     run, arrays, make_state, info = build_sweep_nd_runner(
         pidx, params, per_octave, consensus_every, active_frac, rotate
     )
-    cs0 = make_state(init_coords)
-    x_node = run(cs0, jax.random.key(params.seed), *arrays)
+    cs0, cs_node0 = make_state(init_coords)
+    x_node = run(cs0, cs_node0, jax.random.key(params.seed), *arrays)
     # [2D, N] SoA rows -> [2N, D] node-end-major state
     xn = np.asarray(jax.device_get(x_node), dtype=np.float64)
     state = np.ascontiguousarray(
