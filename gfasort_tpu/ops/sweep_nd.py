@@ -28,7 +28,103 @@ from .fastpow import zeta_table
 from .schedule import eta_schedule
 from .sweep import offset_set
 
-__all__ = ["build_sweep_nd_runner", "path_linear_sgd_layout_sweep"]
+__all__ = [
+    "build_sweep_nd_runner",
+    "make_nd_sweep_fn",
+    "path_linear_sgd_layout_sweep",
+]
+
+
+def make_nd_sweep_fn(offs_p, S, D, params, zetas, fdt, active_frac):
+    """Build one nD sweep function for a phase's offset set.  Shared by
+    the single-device runner and the sharded engine
+    (parallel/sweep_nd_shard.py), which calls it with the per-shard
+    length L as ``S``."""
+    import jax
+    import jax.numpy as jnp
+
+    from .sweep_common import make_offset_sampler
+
+    offs_p = np.asarray(offs_p)
+    Kp = len(offs_p)
+    _, _, sample_block = make_offset_sampler(offs_p, params, zetas, fdt)
+
+    def sweep(cs, key, eta, cooling, pos, rank_a, cnt_a, rev_a, len_a):
+        """cs: [2*D, S] per-step end coordinates, row ``e*D + d``
+        holding end ``e``'s dim ``d``.  SoA layout: every operand is
+        an [S] row, so the TPU's 128-wide lanes stay fully packed —
+        the original [S, 2, D] layout put D (2-3) in the minor
+        dimension and ran ~30x below elementwise peak."""
+        k1, k2 = jax.random.split(key, 2)
+        bits = jax.random.bits(k1, (S,), jnp.uint32)
+        other_end_self = ((bits >> 29) & 1) == 1   # end coin for me
+        u = jax.random.uniform(k2, (S,), dtype=fdt)
+        sidx = sample_block(bits, u, cooling, rank_a, cnt_a, active_frac)
+
+        # per-term end choice for EACH endpoint: the reference flips a
+        # coin per endpoint per term (rs:1060-1077).  Elementwise: my
+        # end coin is other_end_self; my bp position adjusts by my node
+        # length when I use my other end; end index = coin XOR rev.
+        my_pos = jnp.where(other_end_self, pos + len_a, pos)
+        lane0 = jnp.where(other_end_self, 1 - rev_a, rev_a) == 0
+        # my coordinates at the chosen end, one [S] row per dim
+        my_c = [
+            jnp.where(lane0, cs[d], cs[D + d]) for d in range(D)
+        ]
+        # force ONE materialization of the per-sweep derived rows:
+        # all of these are computed values rolled by every bucket
+        # below; without the barrier XLA may fuse their computation
+        # into each roll (see ops/sweep.py)
+        sidx, my_pos, *my_c = jax.lax.optimization_barrier(
+            (sidx, my_pos, *my_c)
+        )
+
+        iota = jax.lax.iota(jnp.int32, S)
+        acc = [jnp.zeros((S,), cs.dtype) for _ in range(D)]
+        wacc = jnp.zeros((S,), cs.dtype)
+        for ki in range(Kp):
+            k = int(offs_p[ki])
+
+            def half(shift, w_mine, w_theirs):
+                # in-path validity comes from the sampler's offset
+                # clamp; only the roll wraparound needs guarding
+                # (see ops/sweep.py)
+                pos_o = jnp.roll(my_pos, shift)
+                c_o = [jnp.roll(c, shift) for c in my_c]
+                guard = iota < S + shift if shift < 0 else iota >= shift
+                w_bool = w_mine | (w_theirs & guard)
+                d_term = jnp.abs(my_pos - pos_o)
+                valid = (d_term != 0) & w_bool
+                w = valid.astype(cs.dtype)
+                safe = jnp.where(valid, d_term, 1.0)
+                mu = jnp.minimum(eta / safe, 1.0)
+                deltas = [a - b for a, b in zip(my_c, c_o)]
+                mag_sq = sum(dd * dd for dd in deltas)
+                zero = mag_sq == 0
+                deltas[0] = jnp.where(zero, fdt(1e-9), deltas[0])
+                mag_sq = jnp.where(zero, fdt(1e-18), mag_sq)
+                mag = jnp.sqrt(mag_sq)
+                r = jnp.minimum(mu * (mag - safe) / 2.0 / mag, 1e30)
+                wr = w * r
+                return [-wr * dd for dd in deltas], w   # I receive -upd
+
+            d1, w1 = half(-k, sidx == ki, jnp.roll(sidx, -k) == ~ki)
+            d2, w2 = half(+k, sidx == ~ki, jnp.roll(sidx, +k) == ki)
+            acc = [a + x + y for a, x, y in zip(acc, d1, d2)]
+            wacc = wacc + w1 + w2
+        # the chosen end is fixed for the whole sweep: apply the mean
+        # update to that lane once (select, no scatter)
+        wmax = jnp.maximum(wacc, 1)
+        rows = []
+        for d in range(D):
+            upd = acc[d] / wmax
+            rows.append(cs[d] + jnp.where(lane0, upd, 0))
+        for d in range(D):
+            upd = acc[d] / wmax
+            rows.append(cs[D + d] + jnp.where(lane0, 0, upd))
+        return jnp.stack(rows, axis=0)
+
+    return sweep
 
 
 def build_sweep_nd_runner(
@@ -110,91 +206,10 @@ def build_sweep_nd_runner(
         params.theta,
     )
 
-    from .sweep_common import make_offset_sampler
-
-    def make_sweep_fn(offs_p: np.ndarray):
-        offs_p = np.asarray(offs_p)
-        Kp = len(offs_p)
-        _, _, sample_block = make_offset_sampler(offs_p, params, zetas, fdt)
-
-        def sweep(cs, key, eta, cooling, pos, rank_a, cnt_a, rev_a, len_a):
-            """cs: [2*D, S] per-step end coordinates, row ``e*D + d``
-            holding end ``e``'s dim ``d``.  SoA layout: every operand is
-            an [S] row, so the TPU's 128-wide lanes stay fully packed —
-            the original [S, 2, D] layout put D (2-3) in the minor
-            dimension and ran ~30x below elementwise peak."""
-            k1, k2 = jax.random.split(key, 2)
-            bits = jax.random.bits(k1, (S,), jnp.uint32)
-            other_end_self = ((bits >> 29) & 1) == 1   # end coin for me
-            u = jax.random.uniform(k2, (S,), dtype=fdt)
-            sidx = sample_block(bits, u, cooling, rank_a, cnt_a, active_frac)
-
-            # per-term end choice for EACH endpoint: the reference flips a
-            # coin per endpoint per term (rs:1060-1077).  Elementwise: my
-            # end coin is other_end_self; my bp position adjusts by my node
-            # length when I use my other end; end index = coin XOR rev.
-            my_pos = jnp.where(other_end_self, pos + len_a, pos)
-            lane0 = jnp.where(other_end_self, 1 - rev_a, rev_a) == 0
-            # my coordinates at the chosen end, one [S] row per dim
-            my_c = [
-                jnp.where(lane0, cs[d], cs[D + d]) for d in range(D)
-            ]
-            # force ONE materialization of the per-sweep derived rows:
-            # all of these are computed values rolled by every bucket
-            # below; without the barrier XLA may fuse their computation
-            # into each roll (see ops/sweep.py)
-            sidx, my_pos, *my_c = jax.lax.optimization_barrier(
-                (sidx, my_pos, *my_c)
-            )
-
-            iota = jax.lax.iota(jnp.int32, S)
-            acc = [jnp.zeros((S,), cs.dtype) for _ in range(D)]
-            wacc = jnp.zeros((S,), cs.dtype)
-            for ki in range(Kp):
-                k = int(offs_p[ki])
-
-                def half(shift, w_mine, w_theirs):
-                    # in-path validity comes from the sampler's offset
-                    # clamp; only the roll wraparound needs guarding
-                    # (see ops/sweep.py)
-                    pos_o = jnp.roll(my_pos, shift)
-                    c_o = [jnp.roll(c, shift) for c in my_c]
-                    guard = iota < S + shift if shift < 0 else iota >= shift
-                    w_bool = w_mine | (w_theirs & guard)
-                    d_term = jnp.abs(my_pos - pos_o)
-                    valid = (d_term != 0) & w_bool
-                    w = valid.astype(cs.dtype)
-                    safe = jnp.where(valid, d_term, 1.0)
-                    mu = jnp.minimum(eta / safe, 1.0)
-                    deltas = [a - b for a, b in zip(my_c, c_o)]
-                    mag_sq = sum(dd * dd for dd in deltas)
-                    zero = mag_sq == 0
-                    deltas[0] = jnp.where(zero, fdt(1e-9), deltas[0])
-                    mag_sq = jnp.where(zero, fdt(1e-18), mag_sq)
-                    mag = jnp.sqrt(mag_sq)
-                    r = jnp.minimum(mu * (mag - safe) / 2.0 / mag, 1e30)
-                    wr = w * r
-                    return [-wr * dd for dd in deltas], w   # I receive -upd
-
-                d1, w1 = half(-k, sidx == ki, jnp.roll(sidx, -k) == ~ki)
-                d2, w2 = half(+k, sidx == ~ki, jnp.roll(sidx, +k) == ki)
-                acc = [a + x + y for a, x, y in zip(acc, d1, d2)]
-                wacc = wacc + w1 + w2
-            # the chosen end is fixed for the whole sweep: apply the mean
-            # update to that lane once (select, no scatter)
-            wmax = jnp.maximum(wacc, 1)
-            rows = []
-            for d in range(D):
-                upd = acc[d] / wmax
-                rows.append(cs[d] + jnp.where(lane0, upd, 0))
-            for d in range(D):
-                upd = acc[d] / wmax
-                rows.append(cs[D + d] + jnp.where(lane0, 0, upd))
-            return jnp.stack(rows, axis=0)
-
-        return sweep
-
-    sweep_fns = [make_sweep_fn(po_) for po_ in phase_offsets]
+    sweep_fns = [
+        make_nd_sweep_fn(po_, S, D, params, zetas, fdt, active_frac)
+        for po_ in phase_offsets
+    ]
 
     # per-(node, end) counts are static (the step->node map never
     # changes): hoist them to a host-precomputed inverse

@@ -24,3 +24,6 @@ from .sweep_shard import (  # noqa: F401
     path_linear_sgd_sweep_sharded,
     path_sgd_sort_sweep_sharded,
 )
+from .sweep_nd_shard import (  # noqa: F401
+    path_linear_sgd_layout_sweep_sharded,
+)

@@ -1,0 +1,333 @@
+"""Multi-device nD layout SGD: local sweeps + psum node-end consensus.
+
+The layout twin of :mod:`gfasort_tpu.parallel.sweep_shard` for the `L`
+pipeline step (reference hot loop: gfasort ``src/sgd.rs:988-1156``,
+Hogwild threads over one coordinate array).  Shards are path-aligned
+([ndev, 2*D, L] coordinate state), so no term pair crosses a shard;
+the only collective is the periodic per-(node, end, dim) consensus:
+
+* grid consensus (ops/grid_consensus.py) when band locality allows —
+  per-shard window sums, ONE psum of the [2D, n_pad] raw-sum block,
+  broadcast back through the shared one-hot; or
+* scatter fallback — per-row scatter-add into the replicated
+  [2D, N] node block, psum, gather back.
+
+Either way the collective volume is O(2*D*N), independent of step
+count — the multi-chip scaling story for BASELINE config 4
+(3D/nD multi-chip layout).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from ..graph import BidirectedGraph
+from ..index import PathIndex
+from ..io.layout_tsv import Layout
+from ..params import LayoutSGDParams
+from ..ops.fastpow import zeta_table
+from ..ops.schedule import eta_schedule
+from ..ops.sweep import offset_set
+from ..ops.sweep_nd import make_nd_sweep_fn
+from .mesh import default_mesh
+from .sweep_shard import _shard_arrays, _shard_grid_plans
+
+__all__ = [
+    "build_sharded_sweep_nd",
+    "path_linear_sgd_layout_sweep_sharded",
+]
+
+
+def build_sharded_sweep_nd(
+    pidx: PathIndex,
+    params: LayoutSGDParams,
+    mesh,
+    per_octave: int = 3,
+    consensus_every: int = 8,
+    active_frac: Optional[float] = None,
+    rotate="auto",
+):
+    """Returns (run, placed_arrays, make_state, info); run(cs_sh,
+    cs_node_init, key, *arrays) executes the full layout schedule under
+    shard_map and returns the [2D, N] node-end coordinates."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    (axis,) = mesh.axis_names
+    ndev = mesh.size
+
+    dtype = {"float32": np.float32, "float64": np.float64}[params.dtype]
+    fdt = {np.float32: jnp.float32, np.float64: jnp.float64}[dtype]
+    S = pidx.total_steps
+    N = pidx.num_nodes
+    D = int(params.dimensions)
+
+    pos_np, rank_np, cnt_np, node_np, path_np, L = _shard_arrays(
+        pidx, ndev, dtype
+    )
+    grid = _shard_grid_plans(node_np, path_np, N, L, dtype)
+
+    # per-shard rev / node-length rows (dead slots: rev 0, len 0)
+    rev_np = np.zeros((ndev, L), dtype=np.int32)
+    len_np = np.zeros((ndev, L), dtype=dtype)
+    live = node_np >= 0
+    rev_src = (pidx.step_handle & 1).astype(np.int32)
+    # _shard_arrays packs paths contiguously; rebuild the same packing
+    # for the per-step handle bits and lengths via the node map
+    len_np[live] = pidx.node_len[node_np[live]].astype(dtype)
+    # rev bit needs the original step identity; recover through the
+    # shard assignment (same traversal as _shard_arrays)
+    from .mesh import partition_paths
+
+    assignment = partition_paths(pidx.path_count.tolist(), ndev)
+    for d, paths in enumerate(assignment):
+        off = 0
+        for p in paths:
+            f = int(pidx.path_first[p])
+            c = int(pidx.path_count[p])
+            rev_np[d, off : off + c] = rev_src[f : f + c]
+            off += c
+
+    max_jump = max(1, min(int(params.space), pidx.max_path_step_count - 1))
+    offs = offset_set(max_jump, per_octave)
+    K = len(offs)
+
+    # bucket rotation (see ops/sweep.py)
+    n_dense = int((offs <= 8).sum())
+    if rotate == "auto":
+        rotate = int(np.clip(round((K - n_dense) / 7.5), 1, 8))
+    rotate = int(max(1, rotate))
+    if rotate > 1 and (K - n_dense) < 2 * rotate:
+        rotate = 1
+    if rotate > 1:
+        phase_offsets = [
+            np.concatenate([offs[:n_dense], offs[n_dense + p :: rotate]])
+            for p in range(rotate)
+        ]
+        phase_offsets = [
+            po_ if po_[-1] == offs[-1] else np.append(po_, offs[-1])
+            for po_ in phase_offsets
+        ]
+        consensus_every = -(-consensus_every // rotate) * rotate
+    else:
+        phase_offsets = [offs]
+
+    # same active-fraction floor as the single-device nD engine
+    if active_frac is None:
+        active_frac = float(np.clip(N / max(S, 1), 1.0 / 4.0, 1.0))
+    updates_per_sweep = max(1, int(S * active_frac))
+
+    etas = eta_schedule(
+        1.0 / params.eta_max, 1.0, params.iter_max,
+        params.iter_with_max_learning_rate, params.eps,
+    )
+    spi = max(1, -(-params.min_term_updates // updates_per_sweep))
+    sweep_eta = np.repeat(etas, spi)
+    sweep_cool = np.repeat(
+        np.arange(params.iter_max + 1) > params.first_cooling_iteration, spi
+    )
+    n_sweeps = len(sweep_eta)
+    etas_j = jnp.asarray(sweep_eta, dtype=fdt)
+    cool_j = jnp.asarray(sweep_cool)
+
+    zetas = zeta_table(
+        params.space, params.space_max, params.space_quantization_step,
+        params.theta,
+    )
+
+    sweep_fns = [
+        make_nd_sweep_fn(po_, L, D, params, zetas, fdt, active_frac)
+        for po_ in phase_offsets
+    ]
+
+    cnt_node = np.bincount(pidx.step_node_idx, minlength=N)
+    inv_cnt_np = (1.0 / np.maximum(cnt_node, 1)).astype(dtype)
+    has_steps_np = cnt_node > 0
+
+    if grid is not None:
+        OFF = grid["off"]
+
+        def consensus(cs, node_a, w_a, inv_cnt_a, *cons):
+            """Grid consensus over the 2D rows with ONE [2D, n_pad]
+            psum between fwd and bwd (the only collective per period)."""
+            lidx_d, anchors_d, oob_s_d, oob_n_d = cons
+            ssum = grid["fwd"](cs, lidx_d, anchors_d, oob_s_d, oob_n_d)
+            ssum = jax.lax.psum(ssum, axis)
+            x_node = (ssum[:, OFF : OFF + N] * inv_cnt_a[None, :]).astype(
+                cs.dtype
+            )
+            cs_new = grid["bwd"](
+                x_node, cs, lidx_d, anchors_d, oob_s_d, oob_n_d
+            )
+            return cs_new, x_node
+    else:
+
+        def consensus(cs, node_a, w_a, inv_cnt_a, *cons):
+            idx = jnp.maximum(node_a, 0)
+            rows = [
+                jax.lax.psum(
+                    jnp.zeros(N, cs.dtype).at[idx].add(cs[r] * w_a), axis
+                )
+                for r in range(2 * D)
+            ]
+            x_node = jnp.stack([r_ * inv_cnt_a for r_ in rows], axis=0)
+            cs_new = jnp.stack(
+                [jnp.where(w_a > 0, x_node[r][idx], cs[r])
+                 for r in range(2 * D)],
+                axis=0,
+            )
+            return cs_new, x_node
+
+    import os as _os
+
+    n_periods = -(-n_sweeps // consensus_every)
+    budget = int(_os.environ.get("GFASORT_SWEEP_DISPATCH_ELEMS", 5e8)) // 2
+    chunk_periods = max(1, min(n_periods, budget // max(L * consensus_every, 1)))
+    n_dispatch = -(-n_periods // chunk_periods)
+
+    def device_chunk(cs, p0, base_key, pos, rank_a, cnt_a, rev_a, len_a,
+                     node_a, inv_cnt_a, *cons):
+        cs, pos, rank_a, cnt_a, rev_a, len_a, node_a = (
+            cs[0], pos[0], rank_a[0], cnt_a[0], rev_a[0], len_a[0], node_a[0]
+        )
+        cons = tuple(c[0] for c in cons)
+        w_a = (node_a >= 0).astype(cs.dtype)
+        dev = jax.lax.axis_index(axis)
+        base = jax.random.fold_in(base_key, dev)
+
+        # rotation: Python-unrolled period keeps each slot's phase (and
+        # offset set) static; no lax.cond (see ops/sweep_common.py)
+        def outer(i, cs):
+            p_idx = p0 + i
+            for rr in range(consensus_every):
+                idx = p_idx * consensus_every + rr
+                r = jnp.minimum(idx, n_sweeps - 1)
+                key = jax.random.fold_in(base, idx)
+                cs = sweep_fns[rr % len(sweep_fns)](
+                    cs, key, etas_j[r], cool_j[r], pos, rank_a, cnt_a,
+                    rev_a, len_a
+                )
+            return consensus(cs, node_a, w_a, inv_cnt_a, *cons)[0]
+
+        cs = jax.lax.fori_loop(0, chunk_periods, outer, cs)
+        return cs[None]
+
+    def device_finish(cs, cs_node_init, node_a, inv_cnt_a, has_steps_a,
+                      *cons):
+        cs, node_a = cs[0], node_a[0]
+        cons = tuple(c[0] for c in cons)
+        w_a = (node_a >= 0).astype(cs.dtype)
+        _, x_node = consensus(cs, node_a, w_a, inv_cnt_a, *cons)
+        # stepless nodes keep their initial coordinates
+        return jnp.where(has_steps_a[None, :], x_node, cs_node_init)
+
+    shard = NamedSharding(mesh, P(axis))
+    repl = NamedSharding(mesh, P())
+
+    n_cons = 4 if grid is not None else 0
+    cons_specs = (P(axis),) * n_cons
+    run_chunk = jax.jit(
+        shard_map(
+            device_chunk,
+            mesh=mesh,
+            in_specs=(P(axis), P(), P(), P(axis), P(axis), P(axis), P(axis),
+                      P(axis), P(axis), P()) + cons_specs,
+            out_specs=P(axis),
+        ),
+        donate_argnums=(0,),
+    )
+    run_finish = jax.jit(
+        shard_map(
+            device_finish,
+            mesh=mesh,
+            in_specs=(P(axis), P(), P(axis), P(), P()) + cons_specs,
+            out_specs=P(),
+        ),
+    )
+
+    def run(cs, cs_node_init, base_key, pos, rank_a, cnt_a, rev_a, len_a,
+            node_a, inv_cnt_a, has_steps_a, *cons):
+        for d in range(n_dispatch):
+            cs = run_chunk(
+                cs, jnp.int32(d * chunk_periods), base_key,
+                pos, rank_a, cnt_a, rev_a, len_a, node_a, inv_cnt_a, *cons,
+            )
+        return run_finish(cs, cs_node_init, node_a, inv_cnt_a, has_steps_a,
+                          *cons)
+
+    arrays = tuple(
+        jax.device_put(jnp.asarray(a), shard)
+        for a in (pos_np, rank_np, cnt_np, rev_np, len_np, node_np)
+    ) + (
+        jax.device_put(jnp.asarray(inv_cnt_np), repl),
+        jax.device_put(jnp.asarray(has_steps_np), repl),
+    ) + (
+        tuple(jax.device_put(jnp.asarray(a), shard) for a in grid["arrays"])
+        if grid is not None else ()
+    )
+
+    def make_state(init_node_coords: np.ndarray):
+        """init_node_coords [2N, D] -> ([ndev, 2D, L] sharded step
+        state, [2D, N] replicated node-order init)."""
+        nc = np.asarray(init_node_coords, dtype=dtype).reshape(N, 2, D)
+        cs0 = np.zeros((ndev, 2 * D, L), dtype=dtype)
+        per_node_rows = np.ascontiguousarray(
+            nc.transpose(1, 2, 0).reshape(2 * D, N)
+        )
+        for d in range(ndev):
+            lv = node_np[d] >= 0
+            cs0[d][:, lv] = per_node_rows[:, node_np[d][lv]]
+        return (
+            jax.device_put(jnp.asarray(cs0), shard),
+            jax.device_put(jnp.asarray(per_node_rows), repl),
+        )
+
+    info = {
+        "n_sweeps": n_sweeps, "updates_per_sweep": updates_per_sweep,
+        "active_frac": active_frac, "n_offsets": K, "shard_len": L,
+        "rotate": rotate, "consensus_every": consensus_every,
+        "grid_consensus": grid is not None,
+    }
+    return run, arrays, make_state, info
+
+
+def path_linear_sgd_layout_sweep_sharded(
+    graph: Optional[BidirectedGraph],
+    params: LayoutSGDParams,
+    mesh=None,
+    pidx: Optional[PathIndex] = None,
+    init_coords: Optional[np.ndarray] = None,
+    **kw,
+) -> Layout:
+    """Multi-device nD layout; same output contract as
+    :func:`gfasort_tpu.ops.sweep_nd.path_linear_sgd_layout_sweep`."""
+    import jax
+
+    pidx = pidx or PathIndex.from_graph(graph)
+    n = pidx.num_nodes
+    dims = params.dimensions
+    if n == 0:
+        return Layout(dims, 0)
+    if not pidx.has_multi_step_path():
+        return Layout(dims, n)
+
+    if init_coords is None:
+        from ..ops.exact import layout_initial_coords
+
+        init_coords = layout_initial_coords(pidx, dims, params.seed)
+
+    mesh = mesh or default_mesh()
+    run, arrays, make_state, info = build_sharded_sweep_nd(
+        pidx, params, mesh, **kw
+    )
+    cs0, cs_node0 = make_state(init_coords)
+    x_node = run(cs0, cs_node0, jax.random.key(params.seed), *arrays)
+    xn = np.asarray(jax.device_get(x_node), dtype=np.float64)
+    state = np.ascontiguousarray(
+        xn.reshape(2, dims, n).transpose(2, 0, 1).reshape(2 * n, dims)
+    )
+    return Layout.from_state(state)

@@ -32,7 +32,8 @@ __all__ = ["path_linear_sgd_sweep_sharded", "path_sgd_sort_sweep_sharded", "buil
 
 def _shard_arrays(pidx: PathIndex, n_shards: int, dtype):
     """Per-shard padded step arrays [D, L] in path-contiguous layout.
-    Pad slots: cnt=1 (never active), node=-1 (masked in consensus)."""
+    Pad slots: cnt=1 (never active), node=-1 (masked in consensus),
+    path=-1."""
     assignment = partition_paths(pidx.path_count.tolist(), n_shards)
     sizes = [int(sum(pidx.path_count[p] for p in paths)) for paths in assignment]
     L = max(max(sizes), 1)
@@ -41,6 +42,7 @@ def _shard_arrays(pidx: PathIndex, n_shards: int, dtype):
     rank = np.zeros((n_shards, L), dtype=np.int32)
     cnt = np.ones((n_shards, L), dtype=np.int32)
     node = np.full((n_shards, L), -1, dtype=np.int32)
+    path = np.full((n_shards, L), -1, dtype=np.int32)
 
     for d, paths in enumerate(assignment):
         off = 0
@@ -52,8 +54,66 @@ def _shard_arrays(pidx: PathIndex, n_shards: int, dtype):
             rank[d, sl] = pidx.step_rank[f : f + c]
             cnt[d, sl] = c
             node[d, sl] = pidx.step_node_idx[f : f + c]
+            path[d, sl] = p
             off += c
-    return pos, rank, cnt, node, L
+    return pos, rank, cnt, node, path, L
+
+
+def _shard_grid_plans(node_np, path_np, N, L, dtype):
+    """Grid-consensus plans for every shard on one shared geometry, or
+    None when locality is poor (see ops/sweep.select_consensus).  All
+    shards share (T, SL, D, W, n_seg, n_oob_pad) so one shard_map
+    program serves every device; per-shard lidx/anchors/oob are data."""
+    import os
+
+    from ..ops.grid_consensus import (
+        choose_grid_geometry,
+        make_grid_fns,
+        plan_grid,
+    )
+
+    mode = os.environ.get("GFASORT_CONSENSUS", "auto")
+    if mode == "gather" or np.dtype(dtype) != np.float32:
+        return None
+    T, SL = 256, 32
+    flat_node = node_np.reshape(-1)
+    flat_path = path_np.reshape(-1)
+    live = flat_node >= 0
+    D, W, m = choose_grid_geometry(
+        flat_node[live], T, SL, 4096, flat_path[live]
+    )
+    if W > 4096:
+        return None
+    plans = [
+        plan_grid(node_np[d], N, T, SL, D, W, path_of_step=path_np[d])
+        for d in range(node_np.shape[0])
+    ]
+    total_live = int(live.sum())
+    in_band = sum(p.coverage * L for p in plans)  # plan coverage is /L
+    coverage = in_band / max(total_live, 1)
+    if mode != "grid" and coverage < 0.97:
+        return None
+    n_oob_pad = max(len(p.oob_steps) for p in plans)
+    g = -(-L // T)
+    n_seg = -(-g // SL)
+    lidx = np.stack([p.lidx for p in plans])
+    anchors = np.stack([p.anchors for p in plans])
+    oob_s = np.stack([
+        np.concatenate([p.oob_steps,
+                        np.full(n_oob_pad - len(p.oob_steps), p.S_pad,
+                                np.int32)])
+        for p in plans
+    ])
+    oob_n = np.stack([
+        np.concatenate([p.oob_nodes,
+                        np.full(n_oob_pad - len(p.oob_nodes), N, np.int32)])
+        for p in plans
+    ])
+    fwd, bwd, n_pad = make_grid_fns(L, N, T, SL, D, W, n_seg)
+    return {
+        "fwd": fwd, "bwd": bwd, "off": SL * D, "coverage": coverage,
+        "arrays": (lidx, anchors, oob_s, oob_n), "window": W, "stride": D,
+    }
 
 
 def build_sharded_sweep(
@@ -80,7 +140,10 @@ def build_sharded_sweep(
     S = pidx.total_steps
     N = pidx.num_nodes
 
-    pos_np, rank_np, cnt_np, node_np, L = _shard_arrays(pidx, ndev, dtype)
+    pos_np, rank_np, cnt_np, node_np, path_np, L = _shard_arrays(
+        pidx, ndev, dtype
+    )
+    grid = _shard_grid_plans(node_np, path_np, N, L, dtype)
 
     max_jump = max(1, min(int(params.space), pidx.max_path_step_count - 1))
     offs = offset_set(max_jump, per_octave)
@@ -186,13 +249,30 @@ def build_sharded_sweep(
     inv_cnt_np = (1.0 / np.maximum(cnt_total, 1)).astype(dtype)
     has_steps_np = cnt_total > 0
 
-    def consensus(xs, node_a, w_a, inv_cnt_a):
-        """psum-merged scatter-mean over the replicated node space."""
-        idx = jnp.maximum(node_a, 0)
-        ssum = jnp.zeros(N, xs.dtype).at[idx].add(xs * w_a)
-        ssum = jax.lax.psum(ssum, axis)
-        x_node = ssum * inv_cnt_a
-        return jnp.where(w_a > 0, x_node[idx], xs), x_node
+    if grid is not None:
+        OFF = grid["off"]
+
+        def consensus(xs, node_a, w_a, inv_cnt_a, *cons):
+            """Grid consensus with the psum between fwd and bwd: local
+            window sums -> [n_pad] all-reduce -> broadcast back.  The
+            only collective per period, riding ICI."""
+            lidx_d, anchors_d, oob_s_d, oob_n_d = cons
+            ssum = grid["fwd"](xs, lidx_d, anchors_d, oob_s_d, oob_n_d)
+            ssum = jax.lax.psum(ssum, axis)
+            x_node = (ssum[OFF : OFF + N] * inv_cnt_a).astype(xs.dtype)
+            xs_new = grid["bwd"](
+                x_node, xs, lidx_d, anchors_d, oob_s_d, oob_n_d
+            )
+            return xs_new, x_node
+    else:
+
+        def consensus(xs, node_a, w_a, inv_cnt_a, *cons):
+            """psum-merged scatter-mean over the replicated node space."""
+            idx = jnp.maximum(node_a, 0)
+            ssum = jnp.zeros(N, xs.dtype).at[idx].add(xs * w_a)
+            ssum = jax.lax.psum(ssum, axis)
+            x_node = ssum * inv_cnt_a
+            return jnp.where(w_a > 0, x_node[idx], xs), x_node
 
     # Bounded-dispatch chunking (see ops/sweep.py): split the schedule
     # into dispatches of at most `chunk_periods` periods so no single
@@ -208,10 +288,11 @@ def build_sharded_sweep(
     n_dispatch = -(-n_periods // chunk_periods)
 
     def device_chunk(xs, p0, base_key, pos, rank_a, cnt_a, node_a,
-                     inv_cnt_a):
+                     inv_cnt_a, *cons):
         xs, pos, rank_a, cnt_a, node_a = (
             xs[0], pos[0], rank_a[0], cnt_a[0], node_a[0]
         )
+        cons = tuple(c[0] for c in cons)
         w_a = (node_a >= 0).astype(xs.dtype)
         dev = jax.lax.axis_index(axis)
         base = jax.random.fold_in(base_key, dev)
@@ -229,7 +310,7 @@ def build_sharded_sweep(
             def outer(i, xs):
                 p_idx = p0 + i
                 _, xs = jax.lax.fori_loop(0, consensus_every, inner, (p_idx, xs))
-                return consensus(xs, node_a, w_a, inv_cnt_a)[0]
+                return consensus(xs, node_a, w_a, inv_cnt_a, *cons)[0]
         else:
             # rotation: Python-unrolled period keeps each slot's phase
             # (and offset set) static — see ops/sweep.py
@@ -242,26 +323,30 @@ def build_sharded_sweep(
                     xs = sweep_fns[rr % len(sweep_fns)](
                         xs, key, etas_j[r], cool_j[r], pos, rank_a, cnt_a
                     )
-                return consensus(xs, node_a, w_a, inv_cnt_a)[0]
+                return consensus(xs, node_a, w_a, inv_cnt_a, *cons)[0]
 
         xs = jax.lax.fori_loop(0, chunk_periods, outer, xs)
         return xs[None]
 
-    def device_finish(xs, x_node_init, node_a, inv_cnt_a, has_steps_a):
+    def device_finish(xs, x_node_init, node_a, inv_cnt_a, has_steps_a,
+                      *cons):
         xs, node_a = xs[0], node_a[0]
+        cons = tuple(c[0] for c in cons)
         w_a = (node_a >= 0).astype(xs.dtype)
-        _, x_node = consensus(xs, node_a, w_a, inv_cnt_a)
+        _, x_node = consensus(xs, node_a, w_a, inv_cnt_a, *cons)
         return jnp.where(has_steps_a, x_node, x_node_init)
 
     shard = NamedSharding(mesh, P(axis))
     repl = NamedSharding(mesh, P())
 
+    n_cons = 4 if grid is not None else 0
+    cons_specs = (P(axis),) * n_cons
     run_chunk = jax.jit(
         shard_map(
             device_chunk,
             mesh=mesh,
             in_specs=(P(axis), P(), P(), P(axis), P(axis), P(axis), P(axis),
-                      P()),
+                      P()) + cons_specs,
             out_specs=P(axis),
         ),
         donate_argnums=(0,),
@@ -270,19 +355,20 @@ def build_sharded_sweep(
         shard_map(
             device_finish,
             mesh=mesh,
-            in_specs=(P(axis), P(), P(axis), P(), P()),
+            in_specs=(P(axis), P(), P(axis), P(), P()) + cons_specs,
             out_specs=P(),
         ),
     )
 
     def run(xs, x_node_init, base_key, pos, rank_a, cnt_a, node_a,
-            inv_cnt_a, has_steps_a):
+            inv_cnt_a, has_steps_a, *cons):
         for d in range(n_dispatch):
             xs = run_chunk(
                 xs, jnp.int32(d * chunk_periods), base_key,
-                pos, rank_a, cnt_a, node_a, inv_cnt_a,
+                pos, rank_a, cnt_a, node_a, inv_cnt_a, *cons,
             )
-        return run_finish(xs, x_node_init, node_a, inv_cnt_a, has_steps_a)
+        return run_finish(xs, x_node_init, node_a, inv_cnt_a, has_steps_a,
+                          *cons)
 
     arrays = tuple(
         jax.device_put(jnp.asarray(a), shard)
@@ -290,6 +376,9 @@ def build_sharded_sweep(
     ) + (
         jax.device_put(jnp.asarray(inv_cnt_np), repl),
         jax.device_put(jnp.asarray(has_steps_np), repl),
+    ) + (
+        tuple(jax.device_put(jnp.asarray(a), shard) for a in grid["arrays"])
+        if grid is not None else ()
     )
 
     def make_state(x0=None):

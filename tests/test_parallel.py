@@ -100,3 +100,72 @@ def test_sharded_sweep_deterministic(lil_gfa):
                 pow_mode="fast")
     m = default_mesh(4)
     assert path_sgd_sort_sweep_sharded(g, p, m) == path_sgd_sort_sweep_sharded(g, p, m)
+
+
+@pytest.mark.parametrize("ndev", [2, 8])
+def test_sharded_layout_quality(lil_gfa, ndev):
+    """Sharded nD layout reaches oracle-grade stress (BASELINE metric 3)."""
+    from gfasort_tpu.ops.exact import calculate_layout_stress
+    from gfasort_tpu.params import LayoutSGDParams
+    from gfasort_tpu.parallel import path_linear_sgd_layout_sweep_sharded
+
+    g = gfa.parse_gfa_numeric(lil_gfa)
+    pidx = PathIndex.from_graph(g)
+    lp = replace(LayoutSGDParams().derive_from_graph(pidx, 2),
+                 dtype="float32", pow_mode="fast")
+    lay = path_linear_sgd_layout_sweep_sharded(g, lp, default_mesh(ndev), pidx)
+    assert lay.num_nodes == 15 and lay.dimensions == 2
+    assert np.isfinite(lay.coords).all()
+    stress = calculate_layout_stress(g, lay, 3000)
+    assert 0 < stress < 0.1  # oracle achieves ~0.004
+
+
+def test_sharded_layout_deterministic(lil_gfa):
+    from gfasort_tpu.params import LayoutSGDParams
+    from gfasort_tpu.parallel import path_linear_sgd_layout_sweep_sharded
+
+    g = gfa.parse_gfa_numeric(lil_gfa)
+    pidx = PathIndex.from_graph(g)
+    lp = replace(LayoutSGDParams().derive_from_graph(pidx, 2),
+                 dtype="float32", pow_mode="fast", iter_max=5)
+    m = default_mesh(4)
+    l1 = path_linear_sgd_layout_sweep_sharded(g, lp, m, pidx)
+    l2 = path_linear_sgd_layout_sweep_sharded(g, lp, m, pidx)
+    np.testing.assert_array_equal(l1.coords, l2.coords)
+
+
+def test_sharded_layout_3d(lil_gfa):
+    from gfasort_tpu.params import LayoutSGDParams
+    from gfasort_tpu.parallel import path_linear_sgd_layout_sweep_sharded
+
+    g = gfa.parse_gfa_numeric(lil_gfa)
+    pidx = PathIndex.from_graph(g)
+    lp = replace(LayoutSGDParams().derive_from_graph(pidx, 3),
+                 dtype="float32", pow_mode="fast", iter_max=5)
+    lay = path_linear_sgd_layout_sweep_sharded(g, lp, default_mesh(8), pidx)
+    assert lay.dimensions == 3
+    assert np.isfinite(lay.coords).all()
+
+
+# ---------------------------------------------------------------- DRB1 scale
+def test_sharded_sweep_drb1_matches_single_device(drb1_gfa):
+    """8-device sharded sweep vs single-device sweep on a real mid-size
+    graph (4,955 nodes / 12 paths): rank agreement within a small
+    displacement band (VERDICT r1: multi-device evidence beyond 15-node
+    fixtures)."""
+    from gfasort_tpu.ops.sweep import path_sgd_sort_sweep
+    from gfasort_tpu.parallel import path_sgd_sort_sweep_sharded
+
+    g = gfa.parse_gfa_numeric(drb1_gfa)
+    p = replace(YgsParams.from_graph(g).path_sgd, dtype="float32",
+                pow_mode="fast", iter_max=10)
+    o_sh = path_sgd_sort_sweep_sharded(g, p, default_mesh(8))
+    o_1d = path_sgd_sort_sweep(g, p)
+    n = len(o_1d)
+    assert sorted(h >> 1 for h in o_sh) == sorted(h >> 1 for h in o_1d)
+    r1 = {h >> 1: i for i, h in enumerate(o_1d)}
+    disp = np.array([abs(i - r1[h >> 1]) for i, h in enumerate(o_sh)])
+    # same engine family, different round schedule: demand strong rank
+    # agreement, not bit equality
+    assert np.median(disp) <= n * 0.02
+    assert disp.mean() <= n * 0.05
