@@ -62,6 +62,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="TPU engine round width (terms per round)")
     p.add_argument("--trace-out", default=None,
                    help="Write per-step timing events as JSON lines")
+    p.add_argument("--distributed", action="store_true",
+                   help="Initialize jax.distributed before running "
+                        "(multi-host pod slice or multi-process CPU); "
+                        "coordinator/process config from "
+                        "GFASORT_COORDINATOR / GFASORT_NUM_PROCESSES / "
+                        "GFASORT_PROCESS_ID or the TPU runtime — see "
+                        "docs/MULTIHOST.md")
     return p
 
 
@@ -84,6 +91,10 @@ def _enable_compile_cache() -> None:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     _enable_compile_cache()
+    if args.distributed:
+        from .parallel.mesh import init_distributed
+
+        init_distributed()
 
     try:
         validate_pipeline(args.pipeline)
