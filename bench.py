@@ -1,13 +1,23 @@
 #!/usr/bin/env python
-"""Headline benchmark: SGD pair-updates/s/chip (BASELINE.md metric 1).
+"""Headline benchmark: SGD pair-updates/s/chip (BASELINE.md metric 1),
+self-certifying (VERDICT r1 task 2).
 
-Runs the production batched 1D SGD engine (the `Y` hot loop) on a
-chromosome-scale synthetic path index on the default accelerator, and
-the C++ sequential oracle (the stand-in for the Rust reference at
--t 1 — no Rust toolchain in this environment) on the CPU as baseline.
+Measures, on the default accelerator:
+  * the sweep 1D engine in quality mode (the CLI default config) and
+    throughput mode — the headline is the throughput-mode rate;
+  * the nD (2D) layout sweep engine (BASELINE configs 3-4);
+and certifies IN-RUN, against the bit-exact C++ oracle on subsampled
+workloads:
+  * rank-MAE / Spearman of the exact timed 1D configuration,
+  * sampled stress of the layout configuration vs the oracle layout.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Baselines: the C++ sequential oracle at 1 thread (the documented
+stand-in for the Rust reference at -t 1) AND an all-core concurrent
+estimate (the reference runs Hogwild over all cores) — both reported.
+
+Prints ONE JSON line with the headline metric plus the certification
+and baseline fields.  Exits nonzero if quality certification fails
+egregiously (spearman < 0.99).
 """
 
 import json
@@ -21,73 +31,124 @@ sys.path.insert(0, str(pathlib.Path(__file__).parent))
 N_NODES = int(os.environ.get("BENCH_NODES", 1_000_000))
 N_PATHS = int(os.environ.get("BENCH_PATHS", 16))
 STEPS = int(os.environ.get("BENCH_STEPS_PER_PATH", 250_000))
-BATCH = int(os.environ.get("BENCH_BATCH", 262_144))
 # 96 rounds ~= 1s of device time: long enough that the tunnel's fixed
 # per-dispatch latency (~150 ms) stops distorting the steady-state rate
 ROUNDS = int(os.environ.get("BENCH_ROUNDS", 96))
 
+# Sweep configs (quality gates vs the bit-exact oracle are measured
+# in-run below; po=2 + rotate=8 runs ~13 offset buckets per sweep with
+# the full set covered every 8 sweeps; frac=0.8 trades small MAE for
+# 1.6x updates/sweep).  Quality mode = consensus every 8 sweeps (the
+# CLI default); throughput mode amortizes consensus over 48.
+QUALITY_CFG = dict(consensus_every=8, per_octave=2, active_frac=0.8, rotate=8)
+THROUGHPUT_CFG = dict(consensus_every=48, per_octave=2, active_frac=0.8, rotate=8)
+
+# certification thresholds (calibrated against round-1 measurements:
+# 100k-node synthetic rank-MAE ~0.0001 of N at the headline config,
+# spearman >= 0.9999 throughout; thresholds leave 10x headroom)
+MAE_FRAC_MAX = 0.002
+SPEARMAN_MIN = 0.999
+STRESS_RATIO_MAX = 1.5
+
 
 def main() -> int:
     from gfasort_tpu.bench_util import (
-        bench_batched_1d,
         bench_native_1d,
+        bench_native_1d_mt,
+        bench_sweep_1d,
+        bench_sweep_nd,
+        layout_quality_vs_oracle,
+        sweep_quality_vs_oracle,
         synthetic_path_index,
     )
 
+    err = lambda *a: print(*a, file=sys.stderr, flush=True)  # noqa: E731
+
     pidx = synthetic_path_index(N_NODES, N_PATHS, STEPS, seed=0)
-    print(
-        f"[bench] workload: {pidx.num_nodes} nodes, {pidx.total_steps} steps, "
-        f"{pidx.num_paths} paths; batch={BATCH} rounds={ROUNDS}",
-        file=sys.stderr,
-    )
+    err(f"[bench] workload: {pidx.num_nodes} nodes, {pidx.total_steps} steps, "
+        f"{pidx.num_paths} paths; rounds={ROUNDS}")
 
     import jax
 
     # persistent compilation cache: remote (tunnel) compiles take minutes
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    err(f"[bench] device: {jax.devices()[0]}")
 
-    dev = jax.devices()[0]
-    print(f"[bench] device: {dev}", file=sys.stderr)
-    from gfasort_tpu.bench_util import bench_sweep_1d
+    tpu_q = bench_sweep_1d(pidx, rounds=ROUNDS, repeats=3, **QUALITY_CFG)
+    err(f"[bench] sweep quality mode (ce=8): {tpu_q}")
+    tpu_t = bench_sweep_1d(pidx, rounds=ROUNDS, repeats=3, **THROUGHPUT_CFG)
+    err(f"[bench] sweep throughput mode (ce=48): {tpu_t}")
 
-    # Throughput-mode config (quality gates vs the bit-exact oracle,
-    # scratch logs in repo history): po=2 + rotate=8 runs ~13 offset
-    # buckets per sweep with the full set covered every 8 sweeps;
-    # frac=0.8 trades DRB1 MAE 4.8 -> 6.3 for 1.6x updates/sweep.
-    # ce=48 cuts the consensus share (the gather-sum roundtrip is the
-    # remaining serial cost, ~63 ms at S=4M) to 2 calls per run: at
-    # this bench's own scale the quality degrades only mildly
-    # (100k-node synthetic rank-MAE of N: 0.0087% at ce=16, 0.0092% at
-    # 32, 0.0097% at 48; ce=64's 0.0129% was rejected).  Small graphs
-    # are much more consensus-sensitive (DRB1 MAE 6.3 at ce=16 -> 14.4
-    # at 32), which is why the CLI quality-mode default stays at ce=8.
-    tpu = bench_sweep_1d(
-        pidx, rounds=ROUNDS, repeats=3, consensus_every=48, per_octave=2,
-        active_frac=0.8, rotate=8,
+    nd = bench_sweep_nd(pidx, dims=2, rounds=ROUNDS // 2, repeats=2)
+    err(f"[bench] 2D layout sweep: {nd}")
+
+    # in-run certification of the timed configs on subsampled workloads
+    cn = int(os.environ.get("BENCH_CERT_NODES", 100_000))
+    q1 = sweep_quality_vs_oracle(
+        n_nodes=cn, steps_per_path=cn, **THROUGHPUT_CFG
     )
-    print(f"[bench] sweep engine (headline): {tpu}", file=sys.stderr)
-    if not tpu["final_finite"]:
-        print("[bench] WARNING: non-finite positions", file=sys.stderr)
-    try:
-        batched = bench_batched_1d(pidx, batch=BATCH, rounds=ROUNDS, repeats=2)
-        print(f"[bench] batched engine (secondary): {batched}", file=sys.stderr)
-    except Exception as e:  # secondary metric; never fail the bench
-        print(f"[bench] batched engine skipped: {e}", file=sys.stderr)
+    err(f"[bench] 1D certification (throughput cfg vs oracle): {q1}")
+    ln = int(os.environ.get("BENCH_CERT_LAYOUT_NODES", 20_000))
+    qn = layout_quality_vs_oracle(
+        n_nodes=ln, steps_per_path=ln, consensus_every=8, rotate=8
+    )
+    err(f"[bench] layout certification (vs oracle): {qn}")
 
     cpu = bench_native_1d(pidx, n_updates=2_000_000)
-    print(f"[bench] native oracle baseline: {cpu}", file=sys.stderr)
-    baseline_rate = cpu["updates_per_s"] if cpu else float("nan")
+    err(f"[bench] oracle 1-thread baseline: {cpu}")
+    cpu_mt = bench_native_1d_mt(
+        workload=(100_000, 4, 100_000), n_updates_each=4_000_000
+    )
+    err(f"[bench] oracle all-core baseline: {cpu_mt}")
 
+    quality_ok = bool(
+        q1 is not None
+        and q1["rank_mae_frac"] <= MAE_FRAC_MAX
+        and q1["spearman"] >= SPEARMAN_MIN
+        and tpu_t["final_finite"]
+        and tpu_q["final_finite"]
+    )
+    layout_ok = bool(
+        qn is not None
+        and nd["final_finite"]
+        and qn["ratio"] <= STRESS_RATIO_MAX
+    )
+    if not quality_ok:
+        err("[bench] WARNING: 1D quality certification FAILED")
+    if not layout_ok:
+        err("[bench] WARNING: layout certification FAILED")
+
+    rate_1t = cpu["updates_per_s"] if cpu else float("nan")
+    rate_mt = cpu_mt["updates_per_s"] if cpu_mt else float("nan")
     result = {
         "metric": "sgd_pair_updates_per_s_per_chip",
-        "value": round(tpu["updates_per_s"], 1),
+        "value": round(tpu_t["updates_per_s"], 1),
         "unit": "pair-updates/s",
-        "vs_baseline": round(tpu["updates_per_s"] / baseline_rate, 3)
-        if cpu
-        else None,
+        "vs_baseline": round(tpu_t["updates_per_s"] / rate_1t, 3) if cpu else None,
+        "vs_baseline_mt": round(tpu_t["updates_per_s"] / rate_mt, 3) if cpu_mt else None,
+        "quality_mode_value": round(tpu_q["updates_per_s"], 1),
+        "quality": {
+            "rank_mae_frac": round(q1["rank_mae_frac"], 6) if q1 else None,
+            "spearman": round(q1["spearman"], 6) if q1 else None,
+            "ok": quality_ok,
+        },
+        "nd_layout": {
+            "value": round(nd["updates_per_s"], 1),
+            "dims": 2,
+            "stress": round(qn["stress"], 5) if qn else None,
+            "oracle_stress": round(qn["oracle_stress"], 5) if qn else None,
+            "ok": layout_ok,
+        },
+        "oracle_1t": round(rate_1t, 1) if cpu else None,
+        "oracle_mt": {
+            "updates_per_s": round(rate_mt, 1),
+            "n_workers": cpu_mt["n_workers"],
+        } if cpu_mt else None,
     }
     print(json.dumps(result))
+    if q1 is not None and q1["spearman"] < 0.99:
+        return 1  # egregious quality regression: fail loudly
     return 0
 
 

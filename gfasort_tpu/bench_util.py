@@ -209,3 +209,194 @@ def bench_native_1d(pidx: PathIndex, n_updates: int = 2_000_000) -> Optional[dic
     )
     dt = time.perf_counter() - t0
     return {"seconds": dt, "updates": n_updates, "updates_per_s": n_updates / dt}
+
+
+def bench_native_1d_mt(
+    workload: tuple = (1_000_000, 16, 250_000),
+    n_updates_each: int = 2_000_000,
+    n_workers: Optional[int] = None,
+) -> Optional[dict]:
+    """Multi-core CPU baseline: n_workers processes each running the
+    C++ sequential oracle loop concurrently (the reference runs Hogwild
+    over all cores, src/sgd.rs:413-593).  Each worker rebuilds the
+    synthetic workload locally (a PathIndex doesn't pickle cheaply) and
+    owns a private position array, so this measures compute +
+    memory-bandwidth contention but not Hogwild's shared-array cache
+    traffic — a generous upper-bound estimate of the reference's
+    all-core rate."""
+    import concurrent.futures
+    import os
+
+    from .native import available
+
+    if not available():
+        return None
+    n_workers = n_workers or os.cpu_count() or 1
+
+    t0 = time.perf_counter()
+    with concurrent.futures.ProcessPoolExecutor(n_workers) as ex:
+        futs = [
+            ex.submit(_native_bench_worker, workload, n_updates_each)
+            for _ in range(n_workers)
+        ]
+        rates = [f.result() for f in futs]
+    wall = time.perf_counter() - t0
+    total = n_updates_each * n_workers
+    return {
+        # sum of per-worker rates (workers time only their own bench
+        # loop, excluding workload construction; the loops overlap, so
+        # contention is captured) — the GENEROUS estimate used for
+        # vs_baseline_mt
+        "updates_per_s": float(np.sum(rates)),
+        "updates_per_s_wall": total / wall,  # incl. construction overhead
+        "updates": total,
+        "seconds": wall,
+        "n_workers": n_workers,
+        "per_worker_median": float(np.median(rates)),
+    }
+
+
+def _native_bench_worker(workload: tuple, n_updates: int) -> float:
+    pidx = synthetic_path_index(*workload, seed=0)
+    r = bench_native_1d(pidx, n_updates)
+    return r["updates_per_s"] if r else 0.0
+
+
+def rank_quality(order_a: np.ndarray, order_b: np.ndarray) -> dict:
+    """Rank agreement between two orderings of the same node set:
+    mean absolute rank displacement (as a fraction of N) and Spearman
+    correlation of the rank vectors."""
+    n = len(order_a)
+    ra = np.empty(n, np.int64)
+    rb = np.empty(n, np.int64)
+    ra[np.asarray(order_a)] = np.arange(n)
+    rb[np.asarray(order_b)] = np.arange(n)
+    disp = np.abs(ra - rb)
+    sa = (ra - ra.mean()) / max(ra.std(), 1e-12)
+    sb = (rb - rb.mean()) / max(rb.std(), 1e-12)
+    return {
+        "rank_mae_frac": float(disp.mean()) / max(n, 1),
+        "spearman": float((sa * sb).mean()),
+    }
+
+
+def sweep_quality_vs_oracle(
+    n_nodes: int = 100_000,
+    n_paths: int = 4,
+    steps_per_path: int = 100_000,
+    iter_max: int = 30,
+    **sweep_kw,
+) -> Optional[dict]:
+    """Self-certification for the bench: run the TIMED sweep
+    configuration through a full schedule on a subsampled workload and
+    compare the resulting node ordering against the bit-exact C++
+    oracle on the same workload (VERDICT r1 Weak #1: the bench must
+    measure the quality of the exact configuration it times)."""
+    from .native import available, path_linear_sgd_native
+    from .ops.sweep import path_linear_sgd_sweep
+
+    if not available():
+        return None
+    pidx = synthetic_path_index(n_nodes, n_paths, steps_per_path, seed=7)
+    p = PathSGDParams().derive_from_graph(pidx)
+    p = replace(p, iter_max=iter_max, dtype="float32", pow_mode="fast")
+
+    x_sweep = path_linear_sgd_sweep(None, p, pidx, **sweep_kw)
+    po = replace(p, dtype="float64", pow_mode="fpp")
+    x_oracle = path_linear_sgd_native(None, po, pidx)
+
+    order_s = np.argsort(x_sweep, kind="stable")
+    order_o = np.argsort(x_oracle, kind="stable")
+    q = rank_quality(order_s, order_o)
+    q["n_nodes"] = n_nodes
+    q["iter_max"] = iter_max
+    return q
+
+
+def bench_sweep_nd(
+    pidx: PathIndex, dims: int = 2, rounds: int = 48, repeats: int = 3,
+    consensus_every: int = 8, rotate: int = 8,
+) -> dict:
+    """Time the nD layout sweep engine (BASELINE configs 3-4; reference
+    hot loop src/sgd.rs:988-1156)."""
+    import jax
+
+    from .ops.sweep_nd import build_sweep_nd_runner
+    from .params import LayoutSGDParams
+
+    lp = LayoutSGDParams().derive_from_graph(pidx, dims)
+    S = pidx.total_steps
+    N = pidx.num_nodes
+    frac = float(np.clip(N / max(S, 1), 1.0 / 4.0, 1.0))
+    ups = max(1, int(S * frac))
+    lp = replace(lp, iter_max=rounds - 1, min_term_updates=ups,
+                 dtype="float32", pow_mode="fast")
+
+    run, arrays, make_state, info = build_sweep_nd_runner(
+        pidx, lp, consensus_every=consensus_every, active_frac=frac,
+        rotate=rotate,
+    )
+    from .ops.exact import layout_initial_coords
+
+    init = layout_initial_coords(pidx, dims, lp.seed)
+    key = jax.random.key(lp.seed)
+
+    def once():
+        cs0, csn0 = make_state(init)
+        _ = np.asarray(csn0[:1, :1])
+        t0 = time.perf_counter()
+        out = run(cs0, csn0, key, *arrays)
+        _ = np.asarray(jax.device_get(out[:1, :64]))
+        dt = time.perf_counter() - t0
+        return dt, np.asarray(jax.device_get(out))
+
+    once()
+    best, xn = min((once() for _ in range(repeats)), key=lambda t: t[0])
+    updates = info["n_sweeps"] * info["updates_per_sweep"]
+    return {
+        "seconds": best,
+        "updates": updates,
+        "updates_per_s": updates / best,
+        "sweeps": info["n_sweeps"],
+        "dims": dims,
+        "final_finite": bool(np.isfinite(xn).all()),
+    }
+
+
+def layout_quality_vs_oracle(
+    n_nodes: int = 20_000,
+    n_paths: int = 4,
+    steps_per_path: int = 20_000,
+    dims: int = 2,
+    **sweep_kw,
+) -> Optional[dict]:
+    """Layout self-certification: sampled stress of the sweep layout vs
+    the C++ oracle layout on the same subsampled workload (BASELINE
+    metric 3: stress within tolerance)."""
+    from .native import available, path_linear_sgd_layout_native
+    from .ops.exact import calculate_layout_stress_pidx, layout_initial_coords
+    from .ops.sweep_nd import path_linear_sgd_layout_sweep
+    from .params import LayoutSGDParams
+
+    if not available():
+        return None
+    pidx = synthetic_path_index(n_nodes, n_paths, steps_per_path, seed=11)
+    lp = LayoutSGDParams().derive_from_graph(pidx, dims)
+    lp = replace(lp, dtype="float32", pow_mode="fast")
+    init = layout_initial_coords(pidx, dims, lp.seed)
+
+    lay_s = path_linear_sgd_layout_sweep(
+        None, lp, pidx, init_coords=init, **sweep_kw
+    )
+    lo = replace(lp, dtype="float64", pow_mode="fpp")
+    lay_o = path_linear_sgd_layout_native(None, lo, pidx, init_coords=init)
+
+    stress_s = calculate_layout_stress_pidx(pidx, lay_s, 10_000)
+    stress_o = calculate_layout_stress_pidx(pidx, lay_o, 10_000)
+    return {
+        "stress": stress_s,
+        "oracle_stress": stress_o,
+        "ratio": stress_s / max(stress_o, 1e-12),
+        "n_nodes": n_nodes,
+        "dims": dims,
+    }

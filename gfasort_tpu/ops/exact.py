@@ -42,6 +42,7 @@ __all__ = [
     "path_sgd_sort_exact",
     "path_linear_sgd_layout_exact",
     "calculate_layout_stress",
+    "calculate_layout_stress_pidx",
 ]
 
 _pack = struct.Struct("<d").pack
@@ -415,7 +416,16 @@ def calculate_layout_stress(
 ) -> float:
     """Sampled normalized stress (src/sgd.rs:1196-1283): random step
     pairs within paths, fixed seed 12345, + ends only."""
-    pidx = PathIndex.from_graph(graph)
+    return calculate_layout_stress_pidx(
+        PathIndex.from_graph(graph), layout, sample_count
+    )
+
+
+def calculate_layout_stress_pidx(
+    pidx: PathIndex, layout: Layout, sample_count: int
+) -> float:
+    """Stress from a prebuilt PathIndex (synthetic benches have no host
+    graph)."""
     if pidx.total_steps < 2:
         return 0.0
     rng = Xoshiro256Plus(12345)
