@@ -169,3 +169,35 @@ def test_sharded_sweep_drb1_matches_single_device(drb1_gfa):
     # agreement, not bit equality
     assert np.median(disp) <= n * 0.02
     assert disp.mean() <= n * 0.05
+
+
+def test_sharded_sweep_100k_synthetic_matches_single_device():
+    """>=100k-node synthetic: the 8-device sharded sweep must agree
+    with the single-device sweep at scale (shard-boundary / consensus
+    bugs only show with many paths and devices — VERDICT r1 Weak #3)."""
+    from gfasort_tpu.bench_util import synthetic_path_index
+    from gfasort_tpu.ops.sweep import path_linear_sgd_sweep
+    from gfasort_tpu.parallel import path_linear_sgd_sweep_sharded
+    from gfasort_tpu.params import PathSGDParams
+
+    pidx = synthetic_path_index(100_000, 8, 50_000, seed=3)
+    p = replace(
+        PathSGDParams().derive_from_graph(pidx),
+        dtype="float32", pow_mode="fast", iter_max=3,
+    )
+    x_sh = path_linear_sgd_sweep_sharded(None, p, default_mesh(8), pidx)
+    x_1d = path_linear_sgd_sweep(None, p, pidx)
+    n = len(x_1d)
+    r_sh = np.empty(n, np.int64)
+    r_1d = np.empty(n, np.int64)
+    r_sh[np.argsort(x_sh, kind="stable")] = np.arange(n)
+    r_1d[np.argsort(x_1d, kind="stable")] = np.arange(n)
+    disp = np.abs(r_sh - r_1d)
+    # strong rank agreement between the two engine variants (the
+    # short schedule leaves ~1.5% median variant noise; a real shard
+    # bug produces ~33% = random order)
+    assert np.median(disp) <= n * 0.025
+    assert disp.mean() <= n * 0.05
+    sa = (r_sh - r_sh.mean()) / r_sh.std()
+    sb = (r_1d - r_1d.mean()) / r_1d.std()
+    assert float((sa * sb).mean()) > 0.995
