@@ -43,7 +43,9 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--iter-max", type=int, default=100, help="SGD iterations")
     p.add_argument("-t", "--threads", type=int, default=1,
-                   help="Accepted for compatibility (engines are device-wide)")
+                   help="Worker-stream count for the exact oracle engine "
+                        "(deterministic N-stream emulation of the "
+                        "reference's -t N); device engines ignore it")
     p.add_argument("-v", "--verbose", type=int, default=1,
                    help="Verbosity 0/1/2")
     p.add_argument("--dimensions", type=int, default=2,
@@ -53,7 +55,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--layout-iter", type=int, default=30,
                    help="Layout iterations (L step)")
     p.add_argument("--engine", default="auto",
-                   choices=["auto", "exact", "batched", "sweep", "sharded"],
+                   choices=["auto", "exact", "batched", "sweep", "sharded",
+                            "sweep-sharded"],
                    help="SGD engine: exact oracle / batched TPU / "
                         "gather-free sweep / multi-device sharded / auto")
     p.add_argument("--seed", type=int, default=None,
@@ -136,6 +139,7 @@ def main(argv=None) -> int:
         batch=args.batch,
         verbose=args.verbose,
         log=log,
+        threads=args.threads,
     )
     if args.verbose >= 2:
         log(f"[gfasort] pipeline took {time.time() - t0:.2f}s")

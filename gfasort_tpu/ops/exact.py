@@ -144,10 +144,19 @@ def path_linear_sgd_exact(
     graph: BidirectedGraph,
     params: PathSGDParams,
     pidx: Optional[PathIndex] = None,
+    nthreads: int = 1,
 ) -> Optional[np.ndarray]:
     """1D path-SGD positions (src/sgd.rs:237-614), sequential oracle.
     Returns x[idx] over the SGD node indexing, or None when no path has
-    more than one step (the reference returns an empty map)."""
+    more than one step (the reference returns an empty map).
+
+    ``nthreads > 1`` emulates the reference's ``-t N`` mode with N
+    per-worker RNG streams seeded ``seed + tid`` (rs:429-432) applied
+    in a DETERMINISTIC round-robin interleaving (one sample attempt per
+    worker per turn, shared positions and update counter).  The real
+    reference interleaving is timing-dependent (SURVEY §8.1), so this
+    is a canonical representative of its schedule family, not a
+    bit-parity target; ``nthreads=1`` is the bit-parity contract."""
     pidx = pidx or PathIndex.from_graph(graph)
     if pidx.num_nodes == 0:
         return np.zeros(0)
@@ -172,12 +181,15 @@ def path_linear_sgd_exact(
     path_first = pidx.path_first.tolist()
     path_count = pidx.path_count.tolist()
 
-    rng = Xoshiro256Plus(params.seed)  # tid 0 => seed + 0 (rs:431)
+    # per-worker streams seeded seed + tid (rs:431); tid 0 alone is the
+    # bit-parity stream
+    rngs = [Xoshiro256Plus(params.seed + t) for t in range(max(nthreads, 1))]
     step_dist = UniformInt(0, pidx.total_steps)
     flip_dist = UniformInt(0, 2)
     space = params.space
     space_max = params.space_max
     quant = params.space_quantization_step
+    turn = 0
 
     for k in range(params.iter_max + 1):
         eta = float(etas[k])
@@ -185,6 +197,8 @@ def path_linear_sgd_exact(
         cur_theta = 0.001 if cooling else params.theta
         done = 0
         while done < params.min_term_updates:
+            rng = rngs[turn]
+            turn = (turn + 1) % len(rngs)
             step_idx = step_dist.sample(rng)
             p = step_path[step_idx]
             count_p = path_count[p]
@@ -227,14 +241,15 @@ def path_linear_sgd_exact(
     return np.asarray(x, dtype=np.float64)
 
 
-def path_sgd_sort_exact(graph: BidirectedGraph, params: PathSGDParams):
+def path_sgd_sort_exact(graph: BidirectedGraph, params: PathSGDParams,
+                        nthreads: int = 1):
     """Sorted handle ordering from 1D SGD (src/sgd.rs:641-672): stable
     sort of node indices by final position, mapped back through the
     same node-order indexing used for seeding."""
     from .. import handle as H
 
     pidx = PathIndex.from_graph(graph)
-    x = path_linear_sgd_exact(graph, params, pidx)
+    x = path_linear_sgd_exact(graph, params, pidx, nthreads=nthreads)
     if x is None or len(x) == 0:
         # reference returns empty positions map -> empty ordering
         return []

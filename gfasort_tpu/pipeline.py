@@ -11,6 +11,9 @@ Engine dispatch (``engine=``):
   reference-contract output, used for parity.
 * ``"batched"`` — the TPU batched engine.
 * ``"sweep"`` — the gather-free offset-sweep TPU engine (throughput).
+* ``"sharded"`` / ``"sweep-sharded"`` — the multi-device engines over
+  the default mesh (all local devices; spans processes after
+  ``parallel.init_distributed`` — docs/MULTIHOST.md).
 * ``"auto"`` (default) — oracle for small graphs where its runtime is
   negligible and bit-level reference parity is wanted; sweep engine
   for large 1D sorts (8x the batched engine's throughput, oracle-grade
@@ -68,11 +71,18 @@ def validate_pipeline(pipeline: str) -> None:
             )
 
 
-def _sgd_order(graph: BidirectedGraph, params: PathSGDParams, engine: str):
+def _sgd_order(graph: BidirectedGraph, params: PathSGDParams, engine: str,
+               threads: int = 1):
     if engine == "auto":
         pidx = PathIndex.from_graph(graph)
         engine = "exact" if pidx.num_nodes <= AUTO_ORACLE_MAX_NODES else "sweep"
     if engine == "exact":
+        if threads > 1:
+            # deterministic N-stream emulation of the reference's -t N
+            # (rs:429-432); Python-only (the native oracle is -t 1)
+            from .ops.exact import path_sgd_sort_exact
+
+            return path_sgd_sort_exact(graph, params, nthreads=threads)
         try:
             from . import native
 
@@ -95,14 +105,19 @@ def _sgd_order(graph: BidirectedGraph, params: PathSGDParams, engine: str):
         from .parallel import path_sgd_sort_sharded
 
         return path_sgd_sort_sharded(graph, params)
+    if engine == "sweep-sharded":
+        from .parallel import path_sgd_sort_sweep_sharded
+
+        return path_sgd_sort_sweep_sharded(graph, params)
     raise ValueError(f"unknown engine {engine!r}")
 
 
 def sgd_sort_only(
-    graph: BidirectedGraph, params: PathSGDParams, engine: str = "auto"
+    graph: BidirectedGraph, params: PathSGDParams, engine: str = "auto",
+    threads: int = 1,
 ) -> None:
     """'Y' step (src/ygs.rs:195-206): SGD order then renumber."""
-    graph.apply_ordering(_sgd_order(graph, params, engine))
+    graph.apply_ordering(_sgd_order(graph, params, engine, threads))
 
 
 def groom_only(graph: BidirectedGraph) -> None:
@@ -159,6 +174,10 @@ def layout_step(
         from .ops.sweep_nd import path_linear_sgd_layout_sweep
 
         layout = path_linear_sgd_layout_sweep(graph, params, pidx)
+    elif eng in ("sharded", "sweep-sharded"):
+        from .parallel import path_linear_sgd_layout_sweep_sharded
+
+        layout = path_linear_sgd_layout_sweep_sharded(graph, params, pidx=pidx)
     else:
         from .ops.sgd import path_linear_sgd_layout_batched
 
@@ -196,6 +215,7 @@ def run_pipeline(
     verbose: int = 0,
     log=print,
     tracer=None,
+    threads: int = 1,
 ) -> PipelineResult:
     """Execute a pipeline string left-to-right on ``graph`` (mutating
     it), mirroring src/bin/gfasort.rs:182-277.  Parameters are derived
@@ -236,7 +256,7 @@ def run_pipeline(
             nodes=graph.node_count(), edges=len(graph.edges),
         ):
             if c == "Y":
-                sgd_sort_only(graph, sgd_params, engine)
+                sgd_sort_only(graph, sgd_params, engine, threads)
             elif c == "g":
                 groom_only(graph)
             elif c == "s":

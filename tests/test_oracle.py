@@ -203,3 +203,27 @@ def test_native_nd_bit_parity(lil_gfa):
         g, lp, pidx, init_coords=init.copy()
     )
     assert np.array_equal(lay_p.coords, lay_n.coords)
+
+
+def test_exact_1d_multithread_emulation(lil_gfa):
+    """-t N emulation: N interleaved per-worker streams (seed + tid,
+    rs:429-432) converge to the same valid node ordering; -t 1 stays
+    the bit-parity stream (VERDICT r1 Missing #5)."""
+    from dataclasses import replace
+
+    from gfasort_tpu.io import gfa
+    from gfasort_tpu.ops.exact import path_sgd_sort_exact
+    from gfasort_tpu.params import YgsParams
+
+    g = gfa.parse_gfa_numeric(lil_gfa)
+    p = YgsParams.from_graph(g).path_sgd
+    o1 = path_sgd_sort_exact(g, p)
+    o2 = path_sgd_sort_exact(g, p, nthreads=2)
+    o4 = path_sgd_sort_exact(g, p, nthreads=4)
+    assert sorted(h >> 1 for h in o2) == sorted(h >> 1 for h in o1)
+    # deterministic per thread count
+    assert o2 == path_sgd_sort_exact(g, p, nthreads=2)
+    # the orderings agree closely (same converged sort)
+    r1 = {h >> 1: i for i, h in enumerate(o1)}
+    assert all(abs(i - r1[h >> 1]) <= 2 for i, h in enumerate(o2))
+    assert all(abs(i - r1[h >> 1]) <= 2 for i, h in enumerate(o4))
