@@ -1,5 +1,14 @@
-"""Banded node consensus: the sweep engines' only random-access op,
-rebuilt as factorized one-hot MXU contractions.
+"""Banded node consensus: factorized one-hot MXU contractions over
+per-tile windows.
+
+SUPERSEDED by :mod:`gfasort_tpu.ops.grid_consensus` (round 2), which
+keeps the factorized dots but constrains windows to uniform-stride
+grids so the window<->node merge becomes slice arithmetic.  Measured
+at S=4M on TPU v5e: this module ~67 ms end-to-end (the arbitrary-base
+[g, W] row scatter alone costs ~30 ms — XLA serializes non-unique row
+scatters at ~2 us/row — and the row gather ~15 ms), the grid version
+~16 ms, plain gather-sum ~64 ms.  Kept as the measured intermediate
+design step; not wired into any engine.
 
 Plain consensus is a scatter-mean + gather over ``[S]`` rows
 (``xs -> x_node -> xs``), profiled at ~68 ms in-loop for S=4M on TPU

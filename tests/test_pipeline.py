@@ -299,3 +299,22 @@ def test_stress_native_matches_python(lil_gfa):
     s_py = calculate_stress_py(pidx, layout, 4000)
     s_cc = layout_stress_2d_native(pidx, xs, ys, present, 4000)
     assert s_cc == s_py
+
+
+def test_pipeline_sweep_sharded_engine(lil_gfa):
+    """engine='sweep-sharded' routes Y to the multi-device sweep and L
+    to the sharded layout over the default (8-virtual-device) mesh."""
+    from gfasort_tpu.io import gfa
+    from gfasort_tpu.pipeline import run_pipeline
+
+    g = gfa.parse_gfa_numeric(lil_gfa)
+    h0 = g.compute_all_path_hashes()
+    result = run_pipeline(
+        g, "YL", iter_max=5, layout_iter=3, dimensions=2,
+        engine="sweep-sharded",
+    )
+    assert g.compute_all_path_hashes() == h0
+    assert result.layout is not None
+    import numpy as np
+
+    assert np.isfinite(result.layout.coords).all()
