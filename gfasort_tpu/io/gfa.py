@@ -73,7 +73,8 @@ def parse_gfa_numeric(text: str) -> BidirectedGraph:
                 if not step:
                     continue
                 orient = step[-1]
-                steps.append(H.encode(int(step[:-1]), int(orient == "-")))
+                # any non-'+' final char is reverse (src/bin/gfasort.rs:149)
+                steps.append(H.encode(int(step[:-1]), int(orient != "+")))
             path.steps = np.asarray(steps, dtype=np.int64)
             g.paths.append(path)
     return g

@@ -137,7 +137,9 @@ ParseResult* parse(const char* data, size_t len) {
                                            std::string(s, te);
                                 return r;
                             }
-                            bool rev = orient == '-';
+                            // reference CLI treats any non-'+' final
+                            // char as reverse (src/bin/gfasort.rs:149)
+                            bool rev = orient != '+';
                             r->step_handles.push_back((id << 1) | (rev ? 1 : 0));
                         }
                         if (!comma) break;

@@ -95,7 +95,10 @@ def main() -> int:
     if trace_out.exists():
         steps = [json.loads(ln) for ln in trace_out.read_text().splitlines()]
 
+    import jax
+
     artifact = {
+        "device": str(jax.devices()[0]),
         "workload": {
             "nodes": args.nodes, "paths": args.paths,
             "steps_per_path": args.steps,

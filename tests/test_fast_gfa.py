@@ -41,6 +41,15 @@ def test_fast_parser_bad_id():
 
 
 @needs_native
+def test_parser_nonplus_orient_is_reverse():
+    # the reference CLI parser maps ANY non-'+' final char to reverse
+    # (src/bin/gfasort.rs:142-151); '5*' must parse as 5-reverse
+    text = "S\t5\tA\nS\t6\tC\nL\t5\t+\t6\t+\t0M\nP\tp\t5*,6+\t*\n"
+    for g in (gfa.parse_gfa_numeric(text), parse_gfa_numeric_fast(text)):
+        assert g.paths[0].steps.tolist() == [5 * 2 + 1, 6 * 2]
+
+
+@needs_native
 def test_fast_parser_roundtrip_canonical(simple_gfa):
     g = parse_gfa_numeric_fast(simple_gfa)
     assert gfa.canonical_gfa(g) == gfa.canonical_gfa(
