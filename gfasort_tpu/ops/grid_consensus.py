@@ -439,7 +439,7 @@ def make_grid_fns(
 def build_grid_consensus(
     step_node: np.ndarray,      # [S] node index per step (>= 0)
     n_nodes: int,
-    path_of_step: Optional[np.ndarray] = None,  # unused (kept for API)
+    path_of_step: Optional[np.ndarray] = None,  # enables boundary-aware anchors
     tile: int = 256,
     seg_tiles: int = 32,
     max_window: int = 4096,

@@ -15,9 +15,9 @@ Engine dispatch (``engine=``):
   the default mesh (all local devices; spans processes after
   ``parallel.init_distributed`` — docs/MULTIHOST.md).
 * ``"auto"`` (default) — oracle for small graphs where its runtime is
-  negligible and bit-level reference parity is wanted; sweep engine
-  for large 1D sorts (8x the batched engine's throughput, oracle-grade
-  end-to-end pipeline quality); batched engine for large layouts.
+  negligible and bit-level reference parity is wanted; sweep engines
+  for large 1D sorts and large layouts (oracle-grade end-to-end
+  pipeline quality).
 """
 
 from __future__ import annotations
