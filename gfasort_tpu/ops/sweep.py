@@ -179,20 +179,32 @@ def build_sweep_runner(
     rank_arr = jnp.asarray(pidx.step_rank.astype(np.int32))
     cnt_arr = jnp.asarray(pidx.step_count_of_step.astype(np.int32))
 
+    # Fused Pallas kernel for the dense buckets (k <= 8): one HBM pass
+    # computes all their halves (ops/sweep_dense.py); the XLA loop then
+    # runs only the large buckets.
+    from .sweep_dense import build_dense_apply, dense_kernel_enabled
+
+    use_dense = dense_kernel_enabled(dtype, S, n_dense)
+    dense_apply = build_dense_apply(n_dense, S, fdt) if use_dense else None
+
     # Pair term-distances are STATIC (pos never changes): precompute
     # |pos[s] - pos[s±k]| per offset so the sweep halves read one [S]
     # array instead of pos + a materialized roll of pos (~25% of the
     # sweep's HBM traffic; rolls materialize on TPU).  Wrap lanes hold
     # garbage — they are masked by the iota guard.  Gated by memory:
-    # 2·K·S·itemsize must fit comfortably in HBM next to everything else.
+    # 2·K·S·itemsize must fit comfortably in HBM next to everything
+    # else.  Dense offsets are served by the kernel (which recomputes d
+    # from pos in VMEM) and need no tables when it is on.
     dk_budget = int(os.environ.get("GFASORT_DK_BUDGET", 3 * 1024**3))
     itemsize = np.dtype(dtype).itemsize
-    use_dk = 2 * K * S * itemsize <= dk_budget
+    dk_offs = [kk for kk in offs.tolist()
+               if not (use_dense and kk <= n_dense)]
+    use_dk = 2 * len(dk_offs) * S * itemsize <= dk_budget
     if use_dk:
         pos_np = np.asarray(pidx.step_pos, dtype=dtype)
         dk_list = []
         off_slot = {}
-        for kk in offs.tolist():
+        for kk in dk_offs:
             off_slot[int(kk)] = len(dk_list) // 2  # pair slot
             dk_list.append(jnp.asarray(np.abs(pos_np - np.roll(pos_np, -kk))))
             dk_list.append(jnp.asarray(np.abs(pos_np - np.roll(pos_np, +kk))))
@@ -250,9 +262,16 @@ def build_sweep_runner(
             # perspective with inputs rolled the other way (measured ~100x
             # faster on TPU v5e).
             iota = jax.lax.iota(jnp.int32, S)
-            dsum = jnp.zeros_like(xs)
-            csum = jnp.zeros_like(xs)
-            for ki in range(Kp):
+            if dense_apply is not None:
+                # dense buckets (ki < n_dense, offsets 1..n_dense in
+                # every phase) in one fused pass
+                dsum, csum = dense_apply(xs, pos, sidx, eta)
+                ki_start = n_dense
+            else:
+                dsum = jnp.zeros_like(xs)
+                csum = jnp.zeros_like(xs)
+                ki_start = 0
+            for ki in range(ki_start, Kp):
                 k = int(offs_p[ki])
 
                 def half(shift, w_mine, w_theirs):
@@ -389,7 +408,7 @@ def build_sweep_runner(
     info = {"n_sweeps": n_sweeps, "updates_per_sweep": updates_per_sweep,
             "active_frac": active_frac, "n_offsets": K, "rotate": rotate,
             "phase_offsets": [len(po_) for po_ in phase_offsets],
-            "consensus_every": consensus_every}
+            "consensus_every": consensus_every, "dense_kernel": use_dense}
     return run, arrays, make_state, info
 
 

@@ -1,0 +1,267 @@
+"""Fused Pallas kernel for the DENSE offset buckets (k = 1..8) of the
+offset-sweep engines.
+
+The XLA sweep body pays one fused roll-pass per offset bucket; the 8
+dense buckets (which carry most of the warm-phase Zipf mass) re-stream
+xs / sidx / dk from HBM ~50 times per sweep (~1.9 ms of the 3.5-4 ms
+sweep at S=4M on TPU v5e).  This kernel computes ALL dense buckets'
+contributions in ONE pass over HBM (xs, pos, sidx in; dsum, csum out).
+
+Mechanism (probed in scratch/dense_probe.py, TPU v5e, S=4M):
+
+* per block, DMA [BR+128, 128] rows (64-row halo each side, row-aligned —
+  element-offset HBM slicing is not supported by Mosaic) and TRANSPOSE
+  to [128, BR+16]: flat-consecutive elements become sublane-
+  consecutive, so every shifted view s+k (|k| <= 8) is a STATIC
+  SUBLANE SLICE of a [128+16, BR+16] halo'd block — the cheapest data
+  movement on TPU.  The lane-carry halo is two tiny [8, BR+16]
+  lane-rolls.  Measured 0.040 ms for 17 shifted reads + sum +
+  writeback of [4M] f32 (the HBM read+write floor); the XLA 17-roll
+  equivalent measures 0.50 ms (chain-slope, same protocol).
+* update semantics are identical to ops/sweep.py's ``half``
+  (reference: src/sgd.rs:509-576): same masks, same f32 arithmetic;
+  ``d`` is recomputed from ``pos`` (the same values the static dk
+  tables hold, f32 subtraction of identical inputs).
+* grid and shapes are data-independent; the kernel runs unchanged
+  inside ``shard_map`` (each device passes its local [S_shard] arrays).
+
+The sidx choice encoding is phase-independent for dense buckets:
+``phase_offsets`` always start with offs[:n_dense] = 1..n_dense, so
+bucket index ki == k-1 in every rotation phase.
+
+Gated by GFASORT_DENSE_KERNEL={auto,pallas,xla}; 'auto' uses the
+kernel on TPU for f32 states above a size floor.  f64 states and CPU
+runs keep the XLA path; tests force 'pallas' (interpret=True on CPU)
+for equivalence coverage.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+__all__ = ["dense_kernel_enabled", "build_dense_apply"]
+
+_LANE = 128
+_H = 8     # max dense offset == sublane halo rows
+_HR = 64   # DMA window halo ROWS: keeps the transposed lane count a
+           # multiple of 128 (Mosaic rejects lane-unaligned concats)
+
+
+def dense_kernel_enabled(dtype, S: int, n_dense: int) -> bool:
+    """Policy: use the fused dense kernel for this sweep config?"""
+    mode = os.environ.get("GFASORT_DENSE_KERNEL", "auto")
+    if mode == "xla":
+        return False
+    if np.dtype(dtype) != np.float32 or n_dense < 2:
+        return False
+    if mode == "pallas":
+        return True
+    import jax
+
+    return jax.default_backend() == "tpu" and S >= 1 << 18
+
+
+def build_dense_apply(n_dense: int, S: int, fdt, br: int = 512,
+                      interpret=None, vma=None):
+    """Build ``apply(xs, pos, sidx, eta) -> (dsum, csum)`` computing the
+    contributions of offset buckets 1..n_dense (bucket ki = k-1, both
+    signs) for every step, in one fused pass.
+
+    Arrays are flat [S]; S need not be 128*br-aligned (padded here,
+    sliced on return).  ``sidx`` is the sweep's signed choice array
+    (ki / ~ki / INACTIVE, ops/sweep_common.py).  When called inside
+    ``shard_map``, pass ``vma={axis_name}`` (jax >= 0.8 checks that
+    pallas out_shapes declare how they vary across mesh axes).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    assert 1 <= n_dense <= _H
+
+    if interpret:
+        # Non-TPU (test) path: the same math as the kernel in plain
+        # jnp ops — shifted views read the kernel's zero/INACTIVE
+        # padding semantics.  No Pallas interpreter involved (it
+        # cannot run under shard_map's varying-axes checks).
+        INACT = jnp.int32(0x7FFFFFF)
+
+        def shift(a, k, fill):
+            idx = jnp.arange(a.shape[0])
+            ok = (idx + k >= 0) & (idx + k < a.shape[0])
+            return jnp.where(ok, jnp.roll(a, -k), fill)
+
+        def apply_ref(xs, pos, sidx, eta):
+            f = jnp.arange(S)
+            one = jnp.asarray(1.0, xs.dtype)
+            dsum = jnp.zeros_like(xs)
+            csum = jnp.zeros_like(xs)
+            eta = jnp.asarray(eta, xs.dtype)
+            for k in range(1, n_dense + 1):
+                ki = k - 1
+                for sgn in (+1, -1):
+                    kk = sgn * k
+                    xs_o = shift(xs, kk, 0)
+                    pos_o = shift(pos, kk, 0)
+                    sidx_o = shift(sidx, kk, INACT)
+                    if sgn > 0:
+                        w_bool = (sidx == ki) | (
+                            (sidx_o == ~ki) & (f + k < S)
+                        )
+                    else:
+                        w_bool = (sidx == ~ki) | (
+                            (sidx_o == ki) & (f - k >= 0)
+                        )
+                    d = jnp.abs(pos - pos_o)
+                    valid = w_bool & (d != 0)
+                    w = valid.astype(xs.dtype)
+                    safe = jnp.where(valid, d, one)
+                    mu = jnp.minimum(eta / safe, one)
+                    dx = xs - xs_o
+                    dx = jnp.where(dx == 0, jnp.asarray(1e-9, xs.dtype), dx)
+                    mag = jnp.abs(dx)
+                    r_x = (mu * (mag - safe) / 2.0 / mag) * dx
+                    dsum = dsum - w * r_x
+                    csum = csum + w
+            return dsum, csum
+
+        return apply_ref
+    BR = int(br)
+    BLK = BR * _LANE
+    nb = -(-S // BLK)
+    S_pad = nb * BLK
+    rows = S_pad // _LANE
+
+    def kernel(xs_hbm, pos_hbm, sidx_hbm, eta_ref, dsum_ref, csum_ref,
+               xs_v, pos_v, sidx_v, sems):
+        i = pl.program_id(0)
+        r0 = i * BR  # in the _HR-row-padded array this is core_start - _HR
+        cps = []
+        for src, dst, sj in ((xs_hbm, xs_v, 0), (pos_hbm, pos_v, 1),
+                             (sidx_hbm, sidx_v, 2)):
+            cp = pltpu.make_async_copy(
+                src.at[pl.ds(r0, BR + 2 * _HR), :], dst, sems.at[sj]
+            )
+            cp.start()
+            cps.append(cp)
+        for cp in cps:
+            cp.wait()
+
+        def vert(vref):
+            # [BR+2*_HR, 128] rows -> halo'd transposed
+            # [128+16, BR+2*_HR]: xt[c, j] holds flat
+            # (r0 + j - _HR)*128 + c; sublane halo rows carry the
+            # lane-adjacent values so any |k| <= 8 shifted view is a
+            # static sublane slice.  The lane wrap at the window ends
+            # produces garbage halo entries, but views only read core
+            # lanes _HR..BR+_HR whose j-1/j+1 are in-window.
+            xt = vref[:].T
+            top = pltpu.roll(xt[_LANE - _H:, :], 1, 1)
+            bot = pltpu.roll(xt[:_H, :], xt.shape[1] - 1, 1)
+            return jnp.concatenate([top, xt, bot], axis=0)
+
+        xs_h = vert(xs_v)
+        pos_h = vert(pos_v)
+        sidx_h = vert(sidx_v)
+
+        def view(h, k):
+            # shifted view s+k over the core [128, BR]
+            return h[_H + k: _H + k + _LANE, _HR: _HR + BR]
+
+        xs = view(xs_h, 0)
+        pos = view(pos_h, 0)
+        sidx = view(sidx_h, 0)
+        # flat index of core element (c, j): (i*BR + j)*128 + c
+        cc = jax.lax.broadcasted_iota(jnp.int32, (_LANE, BR), 0)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (_LANE, BR), 1)
+        f = (i * BR + jj) * _LANE + cc
+        eta = eta_ref[0, 0]
+
+        one = jnp.float32(1.0)
+        dsum = jnp.zeros((_LANE, BR), jnp.float32)
+        csum = jnp.zeros((_LANE, BR), jnp.float32)
+        for k in range(1, n_dense + 1):
+            ki = k - 1
+            for sgn in (+1, -1):
+                # sgn=+1: partner ahead (s+k): mine sidx==ki, theirs
+                #   (at s+k) sidx==~ki, guarded by f+k < S
+                # sgn=-1: partner behind (s-k): mine sidx==~ki, theirs
+                #   sidx==ki, guarded by f-k >= 0
+                # (mirrors ops/sweep.py half(); src/sgd.rs:509-576)
+                kk = sgn * k
+                xs_o = view(xs_h, kk)
+                pos_o = view(pos_h, kk)
+                sidx_o = view(sidx_h, kk)
+                if sgn > 0:
+                    w_bool = (sidx == ki) | ((sidx_o == ~ki) & (f + k < S))
+                else:
+                    w_bool = (sidx == ~ki) | ((sidx_o == ki) & (f - k >= 0))
+                d = jnp.abs(pos - pos_o)
+                valid = w_bool & (d != 0)
+                w = valid.astype(jnp.float32)
+                safe = jnp.where(valid, d, one)
+                mu = jnp.minimum(eta / safe, one)
+                dx = xs - xs_o
+                dx = jnp.where(dx == 0, jnp.float32(1e-9), dx)
+                mag = jnp.abs(dx)
+                r_x = (mu * (mag - safe) / 2.0 / mag) * dx
+                dsum = dsum - w * r_x
+                csum = csum + w
+        dsum_ref[:] = dsum.T
+        csum_ref[:] = csum.T
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((BR, _LANE), lambda i: (i, 0)),
+            pl.BlockSpec((BR, _LANE), lambda i: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((rows, _LANE), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((rows, _LANE), jnp.float32, vma=vma),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((BR + 2 * _HR, _LANE), jnp.float32),
+            pltpu.VMEM((BR + 2 * _HR, _LANE), jnp.float32),
+            pltpu.VMEM((BR + 2 * _HR, _LANE), jnp.int32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        interpret=interpret,
+    )
+
+    INACTIVE = np.int32(0x7FFFFFF)
+
+    def apply(xs, pos, sidx, eta):
+        """xs/pos [S] fdt, sidx [S] i32 -> (dsum, csum) [S] fdt."""
+        pad = S_pad - S
+
+        def pad2(a, fill):
+            if pad:
+                a = jnp.pad(a, (0, pad), constant_values=fill)
+            a = a.reshape(rows, _LANE)
+            return jnp.pad(a, ((_HR, _HR), (0, 0)), constant_values=fill)
+
+        xs_p = pad2(xs.astype(jnp.float32), 0)
+        pos_p = pad2(pos.astype(jnp.float32), 0)
+        sidx_p = pad2(sidx, INACTIVE)
+        eta_a = jnp.full((1, 1), eta, jnp.float32)
+        dsum, csum = call(xs_p, pos_p, sidx_p, eta_a)
+        return (
+            dsum.reshape(-1)[:S].astype(xs.dtype),
+            csum.reshape(-1)[:S].astype(xs.dtype),
+        )
+
+    return apply

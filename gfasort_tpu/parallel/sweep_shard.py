@@ -193,6 +193,15 @@ def build_sharded_sweep(
     )
 
     from ..ops.sweep_common import make_offset_sampler
+    from ..ops.sweep_dense import build_dense_apply, dense_kernel_enabled
+
+    # fused dense-bucket kernel per shard (ops/sweep_dense.py): runs
+    # unchanged inside shard_map on each device's local [L] arrays
+    use_dense = dense_kernel_enabled(dtype, L, n_dense)
+    dense_apply = (
+        build_dense_apply(n_dense, L, fdt, vma=frozenset({axis}))
+        if use_dense else None
+    )
 
     def make_local_sweep(offs_p: np.ndarray):
         offs_p = np.asarray(offs_p)
@@ -205,9 +214,14 @@ def build_sharded_sweep(
             sidx = sample_block(bits, u, cooling, rank_a, cnt_a, active_frac)
 
             iota = jax.lax.iota(jnp.int32, L)
-            dsum = jnp.zeros_like(xs)
-            csum = jnp.zeros_like(xs)
-            for ki in range(Kp):
+            if dense_apply is not None:
+                dsum, csum = dense_apply(xs, pos, sidx, eta)
+                ki_start = n_dense
+            else:
+                dsum = jnp.zeros_like(xs)
+                csum = jnp.zeros_like(xs)
+                ki_start = 0
+            for ki in range(ki_start, Kp):
                 k = int(offs_p[ki])
 
                 def half(shift, w_mine, w_theirs):

@@ -201,3 +201,19 @@ def test_sharded_sweep_100k_synthetic_matches_single_device():
     sa = (r_sh - r_sh.mean()) / r_sh.std()
     sb = (r_1d - r_1d.mean()) / r_1d.std()
     assert float((sa * sb).mean()) > 0.995
+
+
+def test_sharded_sweep_dense_kernel_equivalent(lil_gfa, monkeypatch):
+    """The fused dense-bucket Pallas kernel (interpret mode on CPU)
+    produces the same sharded sweep order as the XLA bucket loop."""
+    from gfasort_tpu.parallel import path_sgd_sort_sweep_sharded
+
+    g = gfa.parse_gfa_numeric(lil_gfa)
+    p = replace(YgsParams.from_graph(g).path_sgd, dtype="float32",
+                pow_mode="fast")
+    m = default_mesh(4)
+    monkeypatch.setenv("GFASORT_DENSE_KERNEL", "xla")
+    o_xla = path_sgd_sort_sweep_sharded(g, p, m)
+    monkeypatch.setenv("GFASORT_DENSE_KERNEL", "pallas")
+    o_pal = path_sgd_sort_sweep_sharded(g, p, m)
+    assert o_xla == o_pal

@@ -1,0 +1,117 @@
+"""Equivalence tests for the fused dense-bucket Pallas kernel
+(ops/sweep_dense.py) against the XLA sweep path it replaces."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from gfasort_tpu.ops.sweep_dense import build_dense_apply  # noqa: E402
+
+INACTIVE = np.int32(0x7FFFFFF)
+
+
+def _xla_reference(xs, pos, sidx, eta, n_dense, S):
+    """The ops/sweep.py half() math for dense buckets, flat rolls."""
+    iota = np.arange(S)
+    dsum = np.zeros(S, np.float32)
+    csum = np.zeros(S, np.float32)
+    for ki in range(n_dense):
+        k = ki + 1
+        for shift, w_mine, w_theirs in (
+            (-k, sidx == ki, np.roll(sidx, -k) == ~ki),
+            (+k, sidx == ~ki, np.roll(sidx, +k) == ki),
+        ):
+            xs_o = np.roll(xs, shift)
+            pos_o = np.roll(pos, shift)
+            guard = iota < S + shift if shift < 0 else iota >= shift
+            w_bool = w_mine | (w_theirs & guard)
+            d = np.abs(pos - pos_o)
+            valid = w_bool & (d != 0)
+            w = valid.astype(np.float32)
+            safe = np.where(valid, d, np.float32(1.0))
+            mu = np.minimum(eta / safe, np.float32(1.0))
+            dx = xs - xs_o
+            dx = np.where(dx == 0, np.float32(1e-9), dx)
+            mag = np.abs(dx)
+            r_x = (mu * (mag - safe) / np.float32(2.0) / mag) * dx
+            dsum += -w * r_x
+            csum += w
+    return dsum, csum
+
+
+@pytest.mark.parametrize("S", [7000, 128 * 512 + 1, 128 * 512 * 2])
+def test_dense_apply_matches_xla_reference(S):
+    rng = np.random.default_rng(S)
+    n_dense = 8
+    xs = rng.standard_normal(S).astype(np.float32) * 100
+    pos = np.cumsum(rng.integers(0, 4, S)).astype(np.float32)
+    # random choices: dense buckets both signs, some INACTIVE, some
+    # large-bucket indices (must be ignored by the kernel)
+    choice = rng.integers(-9, 12, S).astype(np.int32)
+    sidx = np.where(rng.random(S) < 0.3, INACTIVE, choice)
+    eta = np.float32(3.7)
+
+    apply = build_dense_apply(n_dense, S, jnp.float32, interpret=True)
+    dsum, csum = apply(jnp.asarray(xs), jnp.asarray(pos),
+                       jnp.asarray(sidx), eta)
+    # The np.roll reference wraps at the array ends while the kernel
+    # reads zero padding there; with unconstrained random choices the
+    # first/last n_dense elements may legitimately differ (both are
+    # garbage the sampler contract forbids).  Compare the interior;
+    # edge parity under the sampler contract is the next test.
+    want_d, want_c = _xla_reference(xs, pos, sidx, eta, n_dense, S)
+    got_d = np.asarray(dsum)
+    got_c = np.asarray(csum)
+    # interior (away from wrap effects) must match tightly
+    sl = slice(8, S - 8)
+    np.testing.assert_allclose(got_c[sl], want_c[sl], atol=0)
+    np.testing.assert_allclose(got_d[sl], want_d[sl], rtol=2e-6, atol=1e-5)
+
+
+def _clean_edge_sidx(rng, S, n_dense):
+    """Choices that never cross the array ends (the sampler contract)."""
+    choice = rng.integers(-(n_dense + 1), n_dense + 4, S).astype(np.int32)
+    sidx = np.where(rng.random(S) < 0.3, INACTIVE, choice)
+    iota = np.arange(S)
+    for k in range(1, n_dense + 1):
+        sidx = np.where((sidx == k - 1) & (iota + k >= S), INACTIVE, sidx)
+        sidx = np.where((sidx == ~(k - 1)) & (iota - k < 0), INACTIVE, sidx)
+    return sidx
+
+
+def test_dense_apply_edges_with_sampler_contract():
+    """With in-range choices (what the sampler guarantees), the kernel
+    matches the XLA reference everywhere including the array ends."""
+    S = 5000
+    n_dense = 8
+    rng = np.random.default_rng(0)
+    xs = rng.standard_normal(S).astype(np.float32)
+    pos = np.cumsum(rng.integers(1, 4, S)).astype(np.float32)
+    sidx = _clean_edge_sidx(rng, S, n_dense)
+    eta = np.float32(1.3)
+    apply = build_dense_apply(n_dense, S, jnp.float32, interpret=True)
+    dsum, csum = apply(jnp.asarray(xs), jnp.asarray(pos),
+                       jnp.asarray(sidx), eta)
+    want_d, want_c = _xla_reference(xs, pos, sidx, eta, n_dense, S)
+    np.testing.assert_allclose(np.asarray(csum), want_c, atol=0)
+    np.testing.assert_allclose(np.asarray(dsum), want_d, rtol=2e-6, atol=1e-5)
+
+
+def test_sweep_engine_same_result_with_kernel(monkeypatch):
+    """End-to-end: the sweep engine produces (near-)identical positions
+    with the kernel forced on vs off."""
+    from gfasort_tpu.bench_util import synthetic_path_index, bench_params
+    from gfasort_tpu.ops.sweep import path_linear_sgd_sweep
+
+    pidx = synthetic_path_index(30_000, 3, 50_000, seed=1)
+    params = bench_params(pidx, batch=pidx.total_steps, rounds=3)
+
+    monkeypatch.setenv("GFASORT_DENSE_KERNEL", "xla")
+    x_xla = path_linear_sgd_sweep(None, params, pidx, consensus_every=4)
+    monkeypatch.setenv("GFASORT_DENSE_KERNEL", "pallas")
+    x_pal = path_linear_sgd_sweep(None, params, pidx, consensus_every=4)
+
+    assert np.isfinite(x_pal).all()
+    np.testing.assert_allclose(x_pal, x_xla, rtol=1e-4, atol=1e-3)
