@@ -265,3 +265,196 @@ def build_dense_apply(n_dense: int, S: int, fdt, br: int = 512,
         )
 
     return apply
+
+
+def build_dense_apply_nd(n_dense: int, S: int, D: int, fdt, br: int = 256,
+                         interpret=None, vma=None):
+    # br=256 (vs 512 for 1D): the nD kernel holds 2+D input windows
+    # plus their transposed halo'd copies and the unrolled buckets'
+    # intermediates on the VMEM stack; 512-row blocks exceed the 16MB
+    # scoped-vmem limit at D=2.
+    """nD-layout variant of :func:`build_dense_apply`:
+    ``apply(my_pos, sidx, my_c, eta) -> (acc, wacc)`` where ``my_c`` is
+    a list of D per-dim coordinate rows [S] (the chosen-end coords the
+    nD sweep derives per sweep) and ``acc`` is a list of D delta rows.
+    Mirrors ops/sweep_nd.py's half() (src/sgd.rs:1060-1156): Euclidean
+    magnitude over D dims, zero-distance guard on deltas[0], r clamp."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    assert 1 <= n_dense <= _H
+    INACT = np.int32(0x7FFFFFF)
+
+    if interpret:
+        def shift(a, k, fill):
+            idx = jnp.arange(a.shape[0])
+            ok = (idx + k >= 0) & (idx + k < a.shape[0])
+            return jnp.where(ok, jnp.roll(a, -k), fill)
+
+        def apply_ref(my_pos, sidx, my_c, eta):
+            f = jnp.arange(S)
+            one = jnp.asarray(1.0, my_pos.dtype)
+            acc = [jnp.zeros_like(my_pos) for _ in range(D)]
+            wacc = jnp.zeros_like(my_pos)
+            eta = jnp.asarray(eta, my_pos.dtype)
+            for k in range(1, n_dense + 1):
+                ki = k - 1
+                for sgn in (+1, -1):
+                    kk = sgn * k
+                    pos_o = shift(my_pos, kk, 0)
+                    c_o = [shift(c, kk, 0) for c in my_c]
+                    sidx_o = shift(sidx, kk, INACT)
+                    if sgn > 0:
+                        w_bool = (sidx == ki) | (
+                            (sidx_o == ~ki) & (f + k < S))
+                    else:
+                        w_bool = (sidx == ~ki) | (
+                            (sidx_o == ki) & (f - k >= 0))
+                    d_term = jnp.abs(my_pos - pos_o)
+                    valid = (d_term != 0) & w_bool
+                    w = valid.astype(my_pos.dtype)
+                    safe = jnp.where(valid, d_term, one)
+                    mu = jnp.minimum(eta / safe, one)
+                    deltas = [a - b for a, b in zip(my_c, c_o)]
+                    mag_sq = sum(dd * dd for dd in deltas)
+                    zero = mag_sq == 0
+                    deltas[0] = jnp.where(
+                        zero, jnp.asarray(1e-9, my_pos.dtype), deltas[0])
+                    mag_sq = jnp.where(
+                        zero, jnp.asarray(1e-18, my_pos.dtype), mag_sq)
+                    mag = jnp.sqrt(mag_sq)
+                    r = jnp.minimum(mu * (mag - safe) / 2.0 / mag, 1e30)
+                    wr = w * r
+                    acc = [a - wr * dd for a, dd in zip(acc, deltas)]
+                    wacc = wacc + w
+            return acc, wacc
+
+        return apply_ref
+
+    BR = int(br)
+    BLK = BR * _LANE
+    nb = -(-S // BLK)
+    S_pad = nb * BLK
+    rows = S_pad // _LANE
+    n_in = 2 + D  # pos, sidx, c_0..c_{D-1}
+
+    def kernel(*refs):
+        hbm = refs[:n_in]
+        eta_ref = refs[n_in]
+        outs = refs[n_in + 1: n_in + 1 + D + 1]
+        scratch = refs[n_in + 1 + D + 1: n_in + 1 + D + 1 + n_in]
+        sems = refs[-1]
+
+        i = pl.program_id(0)
+        r0 = i * BR
+        cps = []
+        for sj, (src, dst) in enumerate(zip(hbm, scratch)):
+            cp = pltpu.make_async_copy(
+                src.at[pl.ds(r0, BR + 2 * _HR), :], dst, sems.at[sj]
+            )
+            cp.start()
+            cps.append(cp)
+        for cp in cps:
+            cp.wait()
+
+        def vert(vref):
+            xt = vref[:].T
+            top = pltpu.roll(xt[_LANE - _H:, :], 1, 1)
+            bot = pltpu.roll(xt[:_H, :], xt.shape[1] - 1, 1)
+            return jnp.concatenate([top, xt, bot], axis=0)
+
+        pos_h = vert(scratch[0])
+        sidx_h = vert(scratch[1])
+        c_h = [vert(scratch[2 + d]) for d in range(D)]
+
+        def view(h, k):
+            return h[_H + k: _H + k + _LANE, _HR: _HR + BR]
+
+        pos = view(pos_h, 0)
+        sidx = view(sidx_h, 0)
+        cvs = [view(h, 0) for h in c_h]
+        cc = jax.lax.broadcasted_iota(jnp.int32, (_LANE, BR), 0)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (_LANE, BR), 1)
+        f = (i * BR + jj) * _LANE + cc
+        eta = eta_ref[0, 0]
+
+        one = jnp.float32(1.0)
+        acc = [jnp.zeros((_LANE, BR), jnp.float32) for _ in range(D)]
+        wacc = jnp.zeros((_LANE, BR), jnp.float32)
+        for k in range(1, n_dense + 1):
+            ki = k - 1
+            for sgn in (+1, -1):
+                kk = sgn * k
+                pos_o = view(pos_h, kk)
+                sidx_o = view(sidx_h, kk)
+                c_o = [view(h, kk) for h in c_h]
+                if sgn > 0:
+                    w_bool = (sidx == ki) | ((sidx_o == ~ki) & (f + k < S))
+                else:
+                    w_bool = (sidx == ~ki) | ((sidx_o == ki) & (f - k >= 0))
+                d_term = jnp.abs(pos - pos_o)
+                valid = (d_term != 0) & w_bool
+                w = valid.astype(jnp.float32)
+                safe = jnp.where(valid, d_term, one)
+                mu = jnp.minimum(eta / safe, one)
+                deltas = [a - b for a, b in zip(cvs, c_o)]
+                mag_sq = sum(dd * dd for dd in deltas)
+                zero = mag_sq == 0
+                deltas[0] = jnp.where(zero, jnp.float32(1e-9), deltas[0])
+                mag_sq = jnp.where(zero, jnp.float32(1e-18), mag_sq)
+                mag = jnp.sqrt(mag_sq)
+                r = jnp.minimum(mu * (mag - safe) / 2.0 / mag,
+                                jnp.float32(1e30))
+                wr = w * r
+                acc = [a - wr * dd for a, dd in zip(acc, deltas)]
+                wacc = wacc + w
+        for d in range(D):
+            outs[d][:] = acc[d].T
+        outs[D][:] = wacc.T
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=(
+            [pl.BlockSpec(memory_space=pl.ANY) for _ in range(n_in)]
+            + [pl.BlockSpec((1, 1), lambda i: (0, 0),
+                            memory_space=pltpu.SMEM)]
+        ),
+        out_specs=[pl.BlockSpec((BR, _LANE), lambda i: (i, 0))
+                   for _ in range(D + 1)],
+        out_shape=[jax.ShapeDtypeStruct((rows, _LANE), jnp.float32, vma=vma)
+                   for _ in range(D + 1)],
+        scratch_shapes=(
+            [pltpu.VMEM((BR + 2 * _HR, _LANE), jnp.float32),
+             pltpu.VMEM((BR + 2 * _HR, _LANE), jnp.int32)]
+            + [pltpu.VMEM((BR + 2 * _HR, _LANE), jnp.float32)
+               for _ in range(D)]
+            + [pltpu.SemaphoreType.DMA((n_in,))]
+        ),
+        interpret=interpret,
+    )
+
+    def apply(my_pos, sidx, my_c, eta):
+        pad = S_pad - S
+
+        def pad2(a, fill):
+            if pad:
+                a = jnp.pad(a, (0, pad), constant_values=fill)
+            a = a.reshape(rows, _LANE)
+            return jnp.pad(a, ((_HR, _HR), (0, 0)), constant_values=fill)
+
+        args = [pad2(my_pos.astype(jnp.float32), 0),
+                pad2(sidx, INACT)]
+        args += [pad2(c.astype(jnp.float32), 0) for c in my_c]
+        args.append(jnp.full((1, 1), eta, jnp.float32))
+        outs = call(*args)
+        acc = [o.reshape(-1)[:S].astype(my_pos.dtype) for o in outs[:D]]
+        wacc = outs[D].reshape(-1)[:S].astype(my_pos.dtype)
+        return acc, wacc
+
+    return apply

@@ -35,19 +35,31 @@ __all__ = [
 ]
 
 
-def make_nd_sweep_fn(offs_p, S, D, params, zetas, fdt, active_frac):
+def make_nd_sweep_fn(offs_p, S, D, params, zetas, fdt, active_frac,
+                     dense_vma=None):
     """Build one nD sweep function for a phase's offset set.  Shared by
     the single-device runner and the sharded engine
     (parallel/sweep_nd_shard.py), which calls it with the per-shard
-    length L as ``S``."""
+    length L as ``S`` and ``dense_vma={axis}`` (shard_map varying-axes
+    annotation for the fused dense kernel's outputs)."""
     import jax
     import jax.numpy as jnp
 
     from .sweep_common import make_offset_sampler
+    from .sweep_dense import build_dense_apply_nd, dense_kernel_enabled
 
     offs_p = np.asarray(offs_p)
     Kp = len(offs_p)
     _, _, sample_block = make_offset_sampler(offs_p, params, zetas, fdt)
+
+    # fused Pallas kernel for the dense buckets (ops/sweep_dense.py);
+    # phases share the dense prefix so ki = k-1 in every phase
+    nd_dense = int((offs_p <= 8).sum())
+    np_dtype = {"float32": np.float32, "float64": np.float64}[params.dtype]
+    dense_apply = (
+        build_dense_apply_nd(nd_dense, S, D, fdt, vma=dense_vma)
+        if dense_kernel_enabled(np_dtype, S, nd_dense) else None
+    )
 
     def sweep(cs, key, eta, cooling, pos, rank_a, cnt_a, rev_a, len_a):
         """cs: [2*D, S] per-step end coordinates, row ``e*D + d``
@@ -80,9 +92,14 @@ def make_nd_sweep_fn(offs_p, S, D, params, zetas, fdt, active_frac):
         )
 
         iota = jax.lax.iota(jnp.int32, S)
-        acc = [jnp.zeros((S,), cs.dtype) for _ in range(D)]
-        wacc = jnp.zeros((S,), cs.dtype)
-        for ki in range(Kp):
+        if dense_apply is not None:
+            acc, wacc = dense_apply(my_pos, sidx, my_c, eta)
+            ki_start = nd_dense
+        else:
+            acc = [jnp.zeros((S,), cs.dtype) for _ in range(D)]
+            wacc = jnp.zeros((S,), cs.dtype)
+            ki_start = 0
+        for ki in range(ki_start, Kp):
             k = int(offs_p[ki])
 
             def half(shift, w_mine, w_theirs):

@@ -140,7 +140,8 @@ def build_sharded_sweep_nd(
     )
 
     sweep_fns = [
-        make_nd_sweep_fn(po_, L, D, params, zetas, fdt, active_frac)
+        make_nd_sweep_fn(po_, L, D, params, zetas, fdt, active_frac,
+                         dense_vma=frozenset({axis}))
         for po_ in phase_offsets
     ]
 

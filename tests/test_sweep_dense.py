@@ -115,3 +115,77 @@ def test_sweep_engine_same_result_with_kernel(monkeypatch):
 
     assert np.isfinite(x_pal).all()
     np.testing.assert_allclose(x_pal, x_xla, rtol=1e-4, atol=1e-3)
+
+
+def test_nd_dense_apply_matches_sweep_reference():
+    """The nD dense apply (jnp reference path) matches a direct numpy
+    transcription of ops/sweep_nd.py's half() for dense buckets."""
+    from gfasort_tpu.ops.sweep_dense import build_dense_apply_nd
+
+    S, D, n_dense = 4000, 2, 8
+    rng = np.random.default_rng(3)
+    my_pos = np.cumsum(rng.integers(1, 5, S)).astype(np.float32)
+    my_c = [rng.standard_normal(S).astype(np.float32) * 50 for _ in range(D)]
+    sidx = _clean_edge_sidx(rng, S, n_dense)
+    eta = np.float32(2.1)
+
+    apply = build_dense_apply_nd(n_dense, S, D, jnp.float32, interpret=True)
+    acc, wacc = apply(jnp.asarray(my_pos), jnp.asarray(sidx),
+                      [jnp.asarray(c) for c in my_c], eta)
+
+    iota = np.arange(S)
+    want_acc = [np.zeros(S, np.float32) for _ in range(D)]
+    want_w = np.zeros(S, np.float32)
+    for ki in range(n_dense):
+        k = ki + 1
+        for shift, w_mine, w_theirs in (
+            (-k, sidx == ki, np.roll(sidx, -k) == ~ki),
+            (+k, sidx == ~ki, np.roll(sidx, +k) == ki),
+        ):
+            pos_o = np.roll(my_pos, shift)
+            c_o = [np.roll(c, shift) for c in my_c]
+            guard = iota < S + shift if shift < 0 else iota >= shift
+            w_bool = w_mine | (w_theirs & guard)
+            d_term = np.abs(my_pos - pos_o)
+            valid = (d_term != 0) & w_bool
+            w = valid.astype(np.float32)
+            safe = np.where(valid, d_term, np.float32(1.0))
+            mu = np.minimum(eta / safe, np.float32(1.0))
+            deltas = [a - b for a, b in zip(my_c, c_o)]
+            mag_sq = sum(dd * dd for dd in deltas)
+            zero = mag_sq == 0
+            deltas[0] = np.where(zero, np.float32(1e-9), deltas[0])
+            mag_sq = np.where(zero, np.float32(1e-18), mag_sq)
+            mag = np.sqrt(mag_sq)
+            r = np.minimum(mu * (mag - safe) / np.float32(2.0) / mag,
+                           np.float32(1e30))
+            wr = w * r
+            for d in range(D):
+                want_acc[d] -= wr * deltas[d]
+            want_w += w
+    np.testing.assert_allclose(np.asarray(wacc), want_w, atol=0)
+    for d in range(D):
+        np.testing.assert_allclose(np.asarray(acc[d]), want_acc[d],
+                                   rtol=2e-5, atol=1e-4)
+
+
+def test_nd_sweep_engine_same_result_with_kernel(monkeypatch):
+    """End-to-end 2D layout: same coordinates with the dense kernel
+    forced on vs off."""
+    from gfasort_tpu.bench_util import synthetic_path_index
+    from gfasort_tpu.ops.sweep_nd import path_linear_sgd_layout_sweep
+    from gfasort_tpu.params import LayoutSGDParams
+    from dataclasses import replace
+
+    pidx = synthetic_path_index(20_000, 3, 30_000, seed=2)
+    lp = replace(
+        LayoutSGDParams().derive_from_graph(pidx, 2),
+        dtype="float32", pow_mode="fast", iter_max=2,
+    )
+    monkeypatch.setenv("GFASORT_DENSE_KERNEL", "xla")
+    l_xla = path_linear_sgd_layout_sweep(None, lp, pidx)
+    monkeypatch.setenv("GFASORT_DENSE_KERNEL", "pallas")
+    l_pal = path_linear_sgd_layout_sweep(None, lp, pidx)
+    assert np.isfinite(l_pal.coords).all()
+    np.testing.assert_allclose(l_pal.coords, l_xla.coords,
+                               rtol=1e-4, atol=1e-3)
