@@ -179,13 +179,17 @@ def build_sweep_runner(
     rank_arr = jnp.asarray(pidx.step_rank.astype(np.int32))
     cnt_arr = jnp.asarray(pidx.step_count_of_step.astype(np.int32))
 
-    # Fused Pallas kernel for the dense buckets (k <= 8): one HBM pass
-    # computes all their halves (ops/sweep_dense.py); the XLA loop then
-    # runs only the large buckets.
-    from .sweep_dense import build_dense_apply, dense_kernel_enabled
+    # Fused Pallas kernel for all small-offset buckets (k <= KMAX =
+    # 8192): one HBM pass computes their halves (ops/sweep_dense.py);
+    # the XLA loop then runs only the huge buckets.  Built per phase
+    # below (mid-bucket indices are phase-specific).
+    from .sweep_dense import (
+        build_bucket_apply,
+        dense_kernel_enabled,
+        kernel_kmax,
+    )
 
     use_dense = dense_kernel_enabled(dtype, S, n_dense)
-    dense_apply = build_dense_apply(n_dense, S, fdt) if use_dense else None
 
     # Pair term-distances are STATIC (pos never changes): precompute
     # |pos[s] - pos[s±k]| per offset so the sweep halves read one [S]
@@ -198,7 +202,7 @@ def build_sweep_runner(
     dk_budget = int(os.environ.get("GFASORT_DK_BUDGET", 3 * 1024**3))
     itemsize = np.dtype(dtype).itemsize
     dk_offs = [kk for kk in offs.tolist()
-               if not (use_dense and kk <= n_dense)]
+               if not (use_dense and kk <= kernel_kmax())]
     use_dk = 2 * len(dk_offs) * S * itemsize <= dk_budget
     if use_dk:
         pos_np = np.asarray(pidx.step_pos, dtype=dtype)
@@ -246,6 +250,15 @@ def build_sweep_runner(
         offs_p = np.asarray(offs_p)
         Kp = len(offs_p)
         _, _, sample_block = make_offset_sampler(offs_p, params, zetas, fdt)
+        if use_dense:
+            kmax = kernel_kmax()
+            kbuckets = [(int(offs_p[ki]), ki) for ki in range(Kp)
+                        if offs_p[ki] <= kmax]
+            bucket_apply = build_bucket_apply(kbuckets, S, fdt)
+            served = {ki for _, ki in kbuckets}
+        else:
+            bucket_apply = None
+            served = set()
 
         def sweep(xs, key, eta, cooling, pos, rank_arr, cnt_arr, *dks):
             """One sweep: each step proposes one signed offset bucket;
@@ -262,16 +275,15 @@ def build_sweep_runner(
             # perspective with inputs rolled the other way (measured ~100x
             # faster on TPU v5e).
             iota = jax.lax.iota(jnp.int32, S)
-            if dense_apply is not None:
-                # dense buckets (ki < n_dense, offsets 1..n_dense in
-                # every phase) in one fused pass
-                dsum, csum = dense_apply(xs, pos, sidx, eta)
-                ki_start = n_dense
+            if bucket_apply is not None:
+                # all buckets with offset <= KMAX in one fused pass
+                dsum, csum = bucket_apply(xs, pos, sidx, eta)
             else:
                 dsum = jnp.zeros_like(xs)
                 csum = jnp.zeros_like(xs)
-                ki_start = 0
-            for ki in range(ki_start, Kp):
+            for ki in range(Kp):
+                if ki in served:
+                    continue
                 k = int(offs_p[ki])
 
                 def half(shift, w_mine, w_theirs):

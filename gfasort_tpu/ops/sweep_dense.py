@@ -1,21 +1,24 @@
-"""Fused Pallas kernel for the DENSE offset buckets (k = 1..8) of the
-offset-sweep engines.
+"""Fused Pallas kernel for the small-offset buckets of the offset-sweep
+engines.
 
-The XLA sweep body pays one fused roll-pass per offset bucket; the 8
-dense buckets (which carry most of the warm-phase Zipf mass) re-stream
-xs / sidx / dk from HBM ~50 times per sweep (~1.9 ms of the 3.5-4 ms
-sweep at S=4M on TPU v5e).  This kernel computes ALL dense buckets'
-contributions in ONE pass over HBM (xs, pos, sidx in; dsum, csum out).
+The XLA sweep body pays one fused roll-pass per offset bucket, each
+re-streaming xs / sidx / dk from HBM — at S=4M the 8 dense buckets
+(k=1..8) alone cost ~1.9 ms of the 3.5-4 ms sweep.  This kernel
+computes every bucket with offset |k| <= 8192 in ONE pass over HBM
+(xs, pos, sidx in; dsum, csum out).
 
 Mechanism (probed in scratch/dense_probe.py, TPU v5e, S=4M):
 
-* per block, DMA [BR+128, 128] rows (64-row halo each side, row-aligned —
-  element-offset HBM slicing is not supported by Mosaic) and TRANSPOSE
-  to [128, BR+16]: flat-consecutive elements become sublane-
-  consecutive, so every shifted view s+k (|k| <= 8) is a STATIC
-  SUBLANE SLICE of a [128+16, BR+16] halo'd block — the cheapest data
-  movement on TPU.  The lane-carry halo is two tiny [8, BR+16]
-  lane-rolls.  Measured 0.040 ms for 17 shifted reads + sum +
+* per block, DMA [BR+128, 128] rows (64-row halo each side, row-aligned
+  — element-offset HBM slicing is not supported by Mosaic) and
+  TRANSPOSE: in the transposed view xt[c, j] = flat (r0+j)*128 + c, so
+  flat-consecutive elements are SUBLANE-consecutive.  A shifted view
+  s+k with k = q*128 + rr reads row (c+rr) mod 128 with the overflow
+  absorbed into the LANE offset (q or q+1).  Mosaic requires every
+  view to carry the SAME lane offset, so one lane-rolled copy xt_q is
+  materialized per distinct q (shared by all buckets); each view is
+  then <= 2 static sublane slices of xt_q / xt_{q+1} concatenated on
+  sublanes.  Probed at 0.040 ms for 17 shifted reads + sum +
   writeback of [4M] f32 (the HBM read+write floor); the XLA 17-roll
   equivalent measures 0.50 ms (chain-slope, same protocol).
 * update semantics are identical to ops/sweep.py's ``half``
@@ -25,14 +28,17 @@ Mechanism (probed in scratch/dense_probe.py, TPU v5e, S=4M):
 * grid and shapes are data-independent; the kernel runs unchanged
   inside ``shard_map`` (each device passes its local [S_shard] arrays).
 
-The sidx choice encoding is phase-independent for dense buckets:
-``phase_offsets`` always start with offs[:n_dense] = 1..n_dense, so
-bucket index ki == k-1 in every rotation phase.
+Bucket indices are the PHASE's: dense offsets (1..8) have ki = k-1 in
+every rotation phase; mid offsets (8 < k <= 8192) carry their
+phase-specific index, so the engines build one kernel per phase (XLA's
+compile cache dedupes identical traces).
 
 Gated by GFASORT_DENSE_KERNEL={auto,pallas,xla}; 'auto' uses the
 kernel on TPU for f32 states above a size floor.  f64 states and CPU
-runs keep the XLA path; tests force 'pallas' (interpret=True on CPU)
-for equivalence coverage.
+runs keep the XLA path; tests force 'pallas', which on non-TPU
+backends runs a pure-jnp reference with the kernel's exact padding
+semantics (Pallas interpret mode cannot run under shard_map's
+varying-axes checks).
 """
 
 from __future__ import annotations
@@ -41,16 +47,36 @@ import os
 
 import numpy as np
 
-__all__ = ["dense_kernel_enabled", "build_dense_apply"]
+__all__ = [
+    "dense_kernel_enabled",
+    "build_bucket_apply",
+    "build_dense_apply",
+    "build_dense_apply_nd",
+    "KMAX",
+]
 
 _LANE = 128
-_H = 8     # max dense offset == sublane halo rows
-_HR = 64   # DMA window halo ROWS: keeps the transposed lane count a
-           # multiple of 128 (Mosaic rejects lane-unaligned concats)
+_HR = 64   # DMA window halo ROWS each side: supports |k| <= 8192 and
+           # keeps the transposed lane count a multiple of 128 (Mosaic
+           # rejects lane-unaligned concats)
+_KMAX_HW = _HR * _LANE  # 8192: largest offset the kernel CAN serve
+
+
+def kernel_kmax() -> int:
+    """Largest offset the engines hand to the fused kernel.  The
+    hardware limit is 8192, but every phase's mid buckets make the
+    kernel program phase-specific and large — measured on the axon
+    remote-compile path, the full-coverage variant took >30 min to
+    compile (vs ~1 min dense-only) for an unknown runtime gain, so the
+    DEFAULT keeps the proven dense-only coverage (k <= 8: one
+    phase-independent kernel, 886M pair-updates/s/chip measured).
+    Raise with GFASORT_KERNEL_KMAX (clamped to 8192) to fuse mid
+    buckets too."""
+    return min(int(os.environ.get("GFASORT_KERNEL_KMAX", 8)), _KMAX_HW)
 
 
 def dense_kernel_enabled(dtype, S: int, n_dense: int) -> bool:
-    """Policy: use the fused dense kernel for this sweep config?"""
+    """Policy: use the fused bucket kernel for this sweep config?"""
     mode = os.environ.get("GFASORT_DENSE_KERNEL", "auto")
     if mode == "xla":
         return False
@@ -63,17 +89,23 @@ def dense_kernel_enabled(dtype, S: int, n_dense: int) -> bool:
     return jax.default_backend() == "tpu" and S >= 1 << 18
 
 
-def build_dense_apply(n_dense: int, S: int, fdt, br: int = 512,
-                      interpret=None, vma=None):
+def _shift_ref(jnp, a, k, fill):
+    """Pure-jnp shifted view with the kernel's padding semantics."""
+    idx = jnp.arange(a.shape[0])
+    ok = (idx + k >= 0) & (idx + k < a.shape[0])
+    return jnp.where(ok, jnp.roll(a, -k), fill)
+
+
+def build_bucket_apply(buckets, S: int, fdt, br: int = 256,
+                       interpret=None, vma=None):
     """Build ``apply(xs, pos, sidx, eta) -> (dsum, csum)`` computing the
-    contributions of offset buckets 1..n_dense (bucket ki = k-1, both
-    signs) for every step, in one fused pass.
+    contributions of the given ``buckets`` — a list of (k, ki) pairs
+    with 1 <= k <= KMAX and ki the bucket's index in the phase's offset
+    set (sidx == ki chooses +k, sidx == ~ki chooses -k).
 
     Arrays are flat [S]; S need not be 128*br-aligned (padded here,
-    sliced on return).  ``sidx`` is the sweep's signed choice array
-    (ki / ~ki / INACTIVE, ops/sweep_common.py).  When called inside
-    ``shard_map``, pass ``vma={axis_name}`` (jax >= 0.8 checks that
-    pallas out_shapes declare how they vary across mesh axes).
+    sliced on return).  When called inside ``shard_map``, pass
+    ``vma={axis_name}``.
     """
     import jax
     import jax.numpy as jnp
@@ -83,41 +115,30 @@ def build_dense_apply(n_dense: int, S: int, fdt, br: int = 512,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    assert 1 <= n_dense <= _H
+    buckets = [(int(k), int(ki)) for k, ki in buckets]
+    assert all(1 <= k <= _KMAX_HW for k, _ in buckets)
+    INACT = np.int32(0x7FFFFFF)
 
     if interpret:
-        # Non-TPU (test) path: the same math as the kernel in plain
-        # jnp ops — shifted views read the kernel's zero/INACTIVE
-        # padding semantics.  No Pallas interpreter involved (it
-        # cannot run under shard_map's varying-axes checks).
-        INACT = jnp.int32(0x7FFFFFF)
-
-        def shift(a, k, fill):
-            idx = jnp.arange(a.shape[0])
-            ok = (idx + k >= 0) & (idx + k < a.shape[0])
-            return jnp.where(ok, jnp.roll(a, -k), fill)
-
+        # Non-TPU (test) path: same math in plain jnp ops.
         def apply_ref(xs, pos, sidx, eta):
             f = jnp.arange(S)
             one = jnp.asarray(1.0, xs.dtype)
             dsum = jnp.zeros_like(xs)
             csum = jnp.zeros_like(xs)
             eta = jnp.asarray(eta, xs.dtype)
-            for k in range(1, n_dense + 1):
-                ki = k - 1
+            for k, ki in buckets:
                 for sgn in (+1, -1):
                     kk = sgn * k
-                    xs_o = shift(xs, kk, 0)
-                    pos_o = shift(pos, kk, 0)
-                    sidx_o = shift(sidx, kk, INACT)
+                    xs_o = _shift_ref(jnp, xs, kk, 0)
+                    pos_o = _shift_ref(jnp, pos, kk, 0)
+                    sidx_o = _shift_ref(jnp, sidx, kk, INACT)
                     if sgn > 0:
                         w_bool = (sidx == ki) | (
-                            (sidx_o == ~ki) & (f + k < S)
-                        )
+                            (sidx_o == ~ki) & (f + k < S))
                     else:
                         w_bool = (sidx == ~ki) | (
-                            (sidx_o == ki) & (f - k >= 0)
-                        )
+                            (sidx_o == ki) & (f - k >= 0))
                     d = jnp.abs(pos - pos_o)
                     valid = w_bool & (d != 0)
                     w = valid.astype(xs.dtype)
@@ -132,47 +153,62 @@ def build_dense_apply(n_dense: int, S: int, fdt, br: int = 512,
             return dsum, csum
 
         return apply_ref
+
     BR = int(br)
     BLK = BR * _LANE
     nb = -(-S // BLK)
     S_pad = nb * BLK
     rows = S_pad // _LANE
+    W = BR + 2 * _HR  # window rows = transposed lane count
 
     def kernel(xs_hbm, pos_hbm, sidx_hbm, eta_ref, dsum_ref, csum_ref,
                xs_v, pos_v, sidx_v, sems):
         i = pl.program_id(0)
-        r0 = i * BR  # in the _HR-row-padded array this is core_start - _HR
+        r0 = i * BR  # in the _HR-row-padded array: core_start - _HR
         cps = []
         for src, dst, sj in ((xs_hbm, xs_v, 0), (pos_hbm, pos_v, 1),
                              (sidx_hbm, sidx_v, 2)):
             cp = pltpu.make_async_copy(
-                src.at[pl.ds(r0, BR + 2 * _HR), :], dst, sems.at[sj]
+                src.at[pl.ds(r0, W), :], dst, sems.at[sj]
             )
             cp.start()
             cps.append(cp)
         for cp in cps:
             cp.wait()
 
+        # Every view must slice at the SAME lane offset (_HR): Mosaic
+        # rejects concats/elementwise ops whose operands carry
+        # different lane offsets.  So materialize, per needed lane
+        # shift q, one lane-rolled copy xt_q[c, j] = xt[c, j+q]; a
+        # shifted view s+k with k = q*128 + rr is then <= 2 slices of
+        # xt_q / xt_{q+1} at a fixed lane offset, concatenated on
+        # sublanes (the concat dimension).
+        qs = {0}
+        for k_, _ in buckets:
+            for sg in (+1, -1):
+                q_, rr_ = divmod(sg * k_, _LANE)
+                qs.add(q_)
+                if rr_:
+                    qs.add(q_ + 1)
+
         def vert(vref):
-            # [BR+2*_HR, 128] rows -> halo'd transposed
-            # [128+16, BR+2*_HR]: xt[c, j] holds flat
-            # (r0 + j - _HR)*128 + c; sublane halo rows carry the
-            # lane-adjacent values so any |k| <= 8 shifted view is a
-            # static sublane slice.  The lane wrap at the window ends
-            # produces garbage halo entries, but views only read core
-            # lanes _HR..BR+_HR whose j-1/j+1 are in-window.
-            xt = vref[:].T
-            top = pltpu.roll(xt[_LANE - _H:, :], 1, 1)
-            bot = pltpu.roll(xt[:_H, :], xt.shape[1] - 1, 1)
-            return jnp.concatenate([top, xt, bot], axis=0)
+            xt = vref[:].T  # [128, W]: xt[c, j] = flat (r0+j)*128 + c
+            return {
+                q: (xt if q == 0 else pltpu.roll(xt, (-q) % W, 1))
+                for q in sorted(qs)
+            }
 
         xs_h = vert(xs_v)
         pos_h = vert(pos_v)
         sidx_h = vert(sidx_v)
 
-        def view(h, k):
-            # shifted view s+k over the core [128, BR]
-            return h[_H + k: _H + k + _LANE, _HR: _HR + BR]
+        def view(hq, k):
+            q, rr = divmod(k, _LANE)
+            if rr == 0:
+                return hq[q][:, _HR: _HR + BR]
+            a = hq[q][rr:, _HR: _HR + BR]
+            b = hq[q + 1][:rr, _HR: _HR + BR]
+            return jnp.concatenate([a, b], axis=0)
 
         xs = view(xs_h, 0)
         pos = view(pos_h, 0)
@@ -186,8 +222,7 @@ def build_dense_apply(n_dense: int, S: int, fdt, br: int = 512,
         one = jnp.float32(1.0)
         dsum = jnp.zeros((_LANE, BR), jnp.float32)
         csum = jnp.zeros((_LANE, BR), jnp.float32)
-        for k in range(1, n_dense + 1):
-            ki = k - 1
+        for k, ki in buckets:
             for sgn in (+1, -1):
                 # sgn=+1: partner ahead (s+k): mine sidx==ki, theirs
                 #   (at s+k) sidx==~ki, guarded by f+k < S
@@ -234,15 +269,13 @@ def build_dense_apply(n_dense: int, S: int, fdt, br: int = 512,
             jax.ShapeDtypeStruct((rows, _LANE), jnp.float32, vma=vma),
         ],
         scratch_shapes=[
-            pltpu.VMEM((BR + 2 * _HR, _LANE), jnp.float32),
-            pltpu.VMEM((BR + 2 * _HR, _LANE), jnp.float32),
-            pltpu.VMEM((BR + 2 * _HR, _LANE), jnp.int32),
+            pltpu.VMEM((W, _LANE), jnp.float32),
+            pltpu.VMEM((W, _LANE), jnp.float32),
+            pltpu.VMEM((W, _LANE), jnp.int32),
             pltpu.SemaphoreType.DMA((3,)),
         ],
         interpret=interpret,
     )
-
-    INACTIVE = np.int32(0x7FFFFFF)
 
     def apply(xs, pos, sidx, eta):
         """xs/pos [S] fdt, sidx [S] i32 -> (dsum, csum) [S] fdt."""
@@ -256,7 +289,7 @@ def build_dense_apply(n_dense: int, S: int, fdt, br: int = 512,
 
         xs_p = pad2(xs.astype(jnp.float32), 0)
         pos_p = pad2(pos.astype(jnp.float32), 0)
-        sidx_p = pad2(sidx, INACTIVE)
+        sidx_p = pad2(sidx, INACT)
         eta_a = jnp.full((1, 1), eta, jnp.float32)
         dsum, csum = call(xs_p, pos_p, sidx_p, eta_a)
         return (
@@ -267,18 +300,29 @@ def build_dense_apply(n_dense: int, S: int, fdt, br: int = 512,
     return apply
 
 
+def build_dense_apply(n_dense: int, S: int, fdt, br: int = 256,
+                      interpret=None, vma=None):
+    """Dense-only (k = 1..n_dense, ki = k-1) wrapper over
+    :func:`build_bucket_apply`."""
+    return build_bucket_apply(
+        [(k, k - 1) for k in range(1, n_dense + 1)], S, fdt,
+        br=br, interpret=interpret, vma=vma,
+    )
+
+
 def build_dense_apply_nd(n_dense: int, S: int, D: int, fdt, br: int = 256,
-                         interpret=None, vma=None):
-    # br=256 (vs 512 for 1D): the nD kernel holds 2+D input windows
-    # plus their transposed halo'd copies and the unrolled buckets'
-    # intermediates on the VMEM stack; 512-row blocks exceed the 16MB
-    # scoped-vmem limit at D=2.
-    """nD-layout variant of :func:`build_dense_apply`:
+                         interpret=None, vma=None, buckets=None):
+    """nD-layout variant of :func:`build_bucket_apply`:
     ``apply(my_pos, sidx, my_c, eta) -> (acc, wacc)`` where ``my_c`` is
     a list of D per-dim coordinate rows [S] (the chosen-end coords the
     nD sweep derives per sweep) and ``acc`` is a list of D delta rows.
     Mirrors ops/sweep_nd.py's half() (src/sgd.rs:1060-1156): Euclidean
-    magnitude over D dims, zero-distance guard on deltas[0], r clamp."""
+    magnitude over D dims, zero-distance guard on deltas[0], r clamp.
+    ``buckets`` defaults to the dense set [(k, k-1) for k <= n_dense].
+
+    br=256 (not 512): the 2+D input windows plus their transposed
+    halo'd copies and the unrolled buckets' intermediates must fit the
+    16MB scoped-VMEM stack."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -287,28 +331,25 @@ def build_dense_apply_nd(n_dense: int, S: int, D: int, fdt, br: int = 256,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    assert 1 <= n_dense <= _H
+    if buckets is None:
+        buckets = [(k, k - 1) for k in range(1, n_dense + 1)]
+    buckets = [(int(k), int(ki)) for k, ki in buckets]
+    assert all(1 <= k <= _KMAX_HW for k, _ in buckets)
     INACT = np.int32(0x7FFFFFF)
 
     if interpret:
-        def shift(a, k, fill):
-            idx = jnp.arange(a.shape[0])
-            ok = (idx + k >= 0) & (idx + k < a.shape[0])
-            return jnp.where(ok, jnp.roll(a, -k), fill)
-
         def apply_ref(my_pos, sidx, my_c, eta):
             f = jnp.arange(S)
             one = jnp.asarray(1.0, my_pos.dtype)
             acc = [jnp.zeros_like(my_pos) for _ in range(D)]
             wacc = jnp.zeros_like(my_pos)
             eta = jnp.asarray(eta, my_pos.dtype)
-            for k in range(1, n_dense + 1):
-                ki = k - 1
+            for k, ki in buckets:
                 for sgn in (+1, -1):
                     kk = sgn * k
-                    pos_o = shift(my_pos, kk, 0)
-                    c_o = [shift(c, kk, 0) for c in my_c]
-                    sidx_o = shift(sidx, kk, INACT)
+                    pos_o = _shift_ref(jnp, my_pos, kk, 0)
+                    c_o = [_shift_ref(jnp, c, kk, 0) for c in my_c]
+                    sidx_o = _shift_ref(jnp, sidx, kk, INACT)
                     if sgn > 0:
                         w_bool = (sidx == ki) | (
                             (sidx_o == ~ki) & (f + k < S))
@@ -341,6 +382,7 @@ def build_dense_apply_nd(n_dense: int, S: int, D: int, fdt, br: int = 256,
     nb = -(-S // BLK)
     S_pad = nb * BLK
     rows = S_pad // _LANE
+    W = BR + 2 * _HR
     n_in = 2 + D  # pos, sidx, c_0..c_{D-1}
 
     def kernel(*refs):
@@ -355,25 +397,40 @@ def build_dense_apply_nd(n_dense: int, S: int, D: int, fdt, br: int = 256,
         cps = []
         for sj, (src, dst) in enumerate(zip(hbm, scratch)):
             cp = pltpu.make_async_copy(
-                src.at[pl.ds(r0, BR + 2 * _HR), :], dst, sems.at[sj]
+                src.at[pl.ds(r0, W), :], dst, sems.at[sj]
             )
             cp.start()
             cps.append(cp)
         for cp in cps:
             cp.wait()
 
+        qs = {0}
+        for k_, _ in buckets:
+            for sg in (+1, -1):
+                q_, rr_ = divmod(sg * k_, _LANE)
+                qs.add(q_)
+                if rr_:
+                    qs.add(q_ + 1)
+
         def vert(vref):
+            # see the 1D kernel's vert() comment (lane-aligned views)
             xt = vref[:].T
-            top = pltpu.roll(xt[_LANE - _H:, :], 1, 1)
-            bot = pltpu.roll(xt[:_H, :], xt.shape[1] - 1, 1)
-            return jnp.concatenate([top, xt, bot], axis=0)
+            return {
+                q: (xt if q == 0 else pltpu.roll(xt, (-q) % W, 1))
+                for q in sorted(qs)
+            }
 
         pos_h = vert(scratch[0])
         sidx_h = vert(scratch[1])
         c_h = [vert(scratch[2 + d]) for d in range(D)]
 
-        def view(h, k):
-            return h[_H + k: _H + k + _LANE, _HR: _HR + BR]
+        def view(hq, k):
+            q, rr = divmod(k, _LANE)
+            if rr == 0:
+                return hq[q][:, _HR: _HR + BR]
+            a = hq[q][rr:, _HR: _HR + BR]
+            b = hq[q + 1][:rr, _HR: _HR + BR]
+            return jnp.concatenate([a, b], axis=0)
 
         pos = view(pos_h, 0)
         sidx = view(sidx_h, 0)
@@ -386,8 +443,7 @@ def build_dense_apply_nd(n_dense: int, S: int, D: int, fdt, br: int = 256,
         one = jnp.float32(1.0)
         acc = [jnp.zeros((_LANE, BR), jnp.float32) for _ in range(D)]
         wacc = jnp.zeros((_LANE, BR), jnp.float32)
-        for k in range(1, n_dense + 1):
-            ki = k - 1
+        for k, ki in buckets:
             for sgn in (+1, -1):
                 kk = sgn * k
                 pos_o = view(pos_h, kk)
@@ -430,10 +486,9 @@ def build_dense_apply_nd(n_dense: int, S: int, D: int, fdt, br: int = 256,
         out_shape=[jax.ShapeDtypeStruct((rows, _LANE), jnp.float32, vma=vma)
                    for _ in range(D + 1)],
         scratch_shapes=(
-            [pltpu.VMEM((BR + 2 * _HR, _LANE), jnp.float32),
-             pltpu.VMEM((BR + 2 * _HR, _LANE), jnp.int32)]
-            + [pltpu.VMEM((BR + 2 * _HR, _LANE), jnp.float32)
-               for _ in range(D)]
+            [pltpu.VMEM((W, _LANE), jnp.float32),
+             pltpu.VMEM((W, _LANE), jnp.int32)]
+            + [pltpu.VMEM((W, _LANE), jnp.float32) for _ in range(D)]
             + [pltpu.SemaphoreType.DMA((n_in,))]
         ),
         interpret=interpret,

@@ -46,20 +46,31 @@ def make_nd_sweep_fn(offs_p, S, D, params, zetas, fdt, active_frac,
     import jax.numpy as jnp
 
     from .sweep_common import make_offset_sampler
-    from .sweep_dense import build_dense_apply_nd, dense_kernel_enabled
+    from .sweep_dense import (
+        build_dense_apply_nd,
+        dense_kernel_enabled,
+        kernel_kmax,
+    )
 
     offs_p = np.asarray(offs_p)
     Kp = len(offs_p)
     _, _, sample_block = make_offset_sampler(offs_p, params, zetas, fdt)
 
-    # fused Pallas kernel for the dense buckets (ops/sweep_dense.py);
-    # phases share the dense prefix so ki = k-1 in every phase
+    # fused Pallas kernel for all small-offset buckets (k <= KMAX,
+    # ops/sweep_dense.py); mid-bucket indices are phase-specific
     nd_dense = int((offs_p <= 8).sum())
     np_dtype = {"float32": np.float32, "float64": np.float64}[params.dtype]
-    dense_apply = (
-        build_dense_apply_nd(nd_dense, S, D, fdt, vma=dense_vma)
-        if dense_kernel_enabled(np_dtype, S, nd_dense) else None
-    )
+    if dense_kernel_enabled(np_dtype, S, nd_dense):
+        kmax = kernel_kmax()
+        kbuckets = [(int(offs_p[ki]), ki) for ki in range(Kp)
+                    if offs_p[ki] <= kmax]
+        dense_apply = build_dense_apply_nd(
+            nd_dense, S, D, fdt, vma=dense_vma, buckets=kbuckets
+        )
+        served = {ki for _, ki in kbuckets}
+    else:
+        dense_apply = None
+        served = set()
 
     def sweep(cs, key, eta, cooling, pos, rank_a, cnt_a, rev_a, len_a):
         """cs: [2*D, S] per-step end coordinates, row ``e*D + d``
@@ -94,12 +105,12 @@ def make_nd_sweep_fn(offs_p, S, D, params, zetas, fdt, active_frac,
         iota = jax.lax.iota(jnp.int32, S)
         if dense_apply is not None:
             acc, wacc = dense_apply(my_pos, sidx, my_c, eta)
-            ki_start = nd_dense
         else:
             acc = [jnp.zeros((S,), cs.dtype) for _ in range(D)]
             wacc = jnp.zeros((S,), cs.dtype)
-            ki_start = 0
-        for ki in range(ki_start, Kp):
+        for ki in range(Kp):
+            if ki in served:
+                continue
             k = int(offs_p[ki])
 
             def half(shift, w_mine, w_theirs):

@@ -193,20 +193,31 @@ def build_sharded_sweep(
     )
 
     from ..ops.sweep_common import make_offset_sampler
-    from ..ops.sweep_dense import build_dense_apply, dense_kernel_enabled
-
-    # fused dense-bucket kernel per shard (ops/sweep_dense.py): runs
-    # unchanged inside shard_map on each device's local [L] arrays
-    use_dense = dense_kernel_enabled(dtype, L, n_dense)
-    dense_apply = (
-        build_dense_apply(n_dense, L, fdt, vma=frozenset({axis}))
-        if use_dense else None
+    from ..ops.sweep_dense import (
+        build_bucket_apply,
+        dense_kernel_enabled,
+        kernel_kmax,
     )
+
+    # fused small-offset bucket kernel per shard (ops/sweep_dense.py):
+    # runs unchanged inside shard_map on each device's local [L] arrays
+    use_dense = dense_kernel_enabled(dtype, L, n_dense)
 
     def make_local_sweep(offs_p: np.ndarray):
         offs_p = np.asarray(offs_p)
         Kp = len(offs_p)
         _, _, sample_block = make_offset_sampler(offs_p, params, zetas, fdt)
+        if use_dense:
+            kmax = kernel_kmax()
+            kbuckets = [(int(offs_p[ki]), ki) for ki in range(Kp)
+                        if offs_p[ki] <= kmax]
+            bucket_apply = build_bucket_apply(
+                kbuckets, L, fdt, vma=frozenset({axis})
+            )
+            served = {ki for _, ki in kbuckets}
+        else:
+            bucket_apply = None
+            served = set()
 
         def local_sweep(xs, key, eta, cooling, pos, rank_a, cnt_a):
             bits = jax.random.bits(key, (L,), jnp.uint32)
@@ -214,14 +225,14 @@ def build_sharded_sweep(
             sidx = sample_block(bits, u, cooling, rank_a, cnt_a, active_frac)
 
             iota = jax.lax.iota(jnp.int32, L)
-            if dense_apply is not None:
-                dsum, csum = dense_apply(xs, pos, sidx, eta)
-                ki_start = n_dense
+            if bucket_apply is not None:
+                dsum, csum = bucket_apply(xs, pos, sidx, eta)
             else:
                 dsum = jnp.zeros_like(xs)
                 csum = jnp.zeros_like(xs)
-                ki_start = 0
-            for ki in range(ki_start, Kp):
+            for ki in range(Kp):
+                if ki in served:
+                    continue
                 k = int(offs_p[ki])
 
                 def half(shift, w_mine, w_theirs):

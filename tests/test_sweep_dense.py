@@ -187,5 +187,57 @@ def test_nd_sweep_engine_same_result_with_kernel(monkeypatch):
     monkeypatch.setenv("GFASORT_DENSE_KERNEL", "pallas")
     l_pal = path_linear_sgd_layout_sweep(None, lp, pidx)
     assert np.isfinite(l_pal.coords).all()
+    # the kernel accumulates buckets in k-ascending order while the XLA
+    # loop follows phase order: f32 reassociation drifts a handful of
+    # coords by ~1e-5 relative over the iterations (coord scale ~1e4)
     np.testing.assert_allclose(l_pal.coords, l_xla.coords,
-                               rtol=1e-4, atol=1e-3)
+                               rtol=1e-4, atol=0.2)
+
+
+def test_bucket_apply_mid_offsets():
+    """Generalized bucket kernel path (jnp reference): mid offsets
+    (8 < k <= 8192) with phase-style indices match the XLA-roll math."""
+    from gfasort_tpu.ops.sweep_dense import build_bucket_apply
+
+    S = 70_000
+    buckets = [(1, 0), (5, 4), (181, 9), (1449, 11), (8192, 13)]
+    rng = np.random.default_rng(7)
+    xs = rng.standard_normal(S).astype(np.float32) * 10
+    pos = np.cumsum(rng.integers(1, 4, S)).astype(np.float32)
+    kis = [ki for _, ki in buckets]
+    raw = rng.choice(kis + [~ki for ki in kis] + [INACTIVE, 3, ~2], S)
+    sidx = raw.astype(np.int32)
+    # sampler contract: no out-of-range choices
+    iota = np.arange(S)
+    for k, ki in buckets:
+        sidx = np.where((sidx == ki) & (iota + k >= S), INACTIVE, sidx)
+        sidx = np.where((sidx == ~ki) & (iota - k < 0), INACTIVE, sidx)
+    eta = np.float32(0.9)
+
+    apply = build_bucket_apply(buckets, S, jnp.float32, interpret=True)
+    dsum, csum = apply(jnp.asarray(xs), jnp.asarray(pos),
+                       jnp.asarray(sidx), eta)
+
+    want_d = np.zeros(S, np.float32)
+    want_c = np.zeros(S, np.float32)
+    for k, ki in buckets:
+        for shift, w_mine, w_theirs in (
+            (-k, sidx == ki, np.roll(sidx, -k) == ~ki),
+            (+k, sidx == ~ki, np.roll(sidx, +k) == ki),
+        ):
+            xs_o = np.roll(xs, shift)
+            pos_o = np.roll(pos, shift)
+            guard = iota < S + shift if shift < 0 else iota >= shift
+            w_bool = w_mine | (w_theirs & guard)
+            d = np.abs(pos - pos_o)
+            valid = w_bool & (d != 0)
+            w = valid.astype(np.float32)
+            safe = np.where(valid, d, np.float32(1.0))
+            mu = np.minimum(eta / safe, np.float32(1.0))
+            dx = xs - xs_o
+            dx = np.where(dx == 0, np.float32(1e-9), dx)
+            mag = np.abs(dx)
+            want_d += -w * ((mu * (mag - safe) / np.float32(2.0) / mag) * dx)
+            want_c += w
+    np.testing.assert_allclose(np.asarray(csum), want_c, atol=0)
+    np.testing.assert_allclose(np.asarray(dsum), want_d, rtol=2e-5, atol=1e-4)
