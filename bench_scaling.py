@@ -10,8 +10,14 @@ the sharded program compiles, executes, and keeps per-shard work
 balanced, and reports the analytic communication volume (the only
 collective is an [N]-sized psum per consensus, independent of S).
 
-Usage:  python bench_scaling.py [max_devices]
+Usage:  python bench_scaling.py [max_devices] [--weak]
 Prints one JSON line per mesh size.
+
+``--weak``: weak scaling — the workload grows with the mesh (n_paths =
+2 x devices, fixed steps per path), so every device holds the SAME
+shard size at every mesh size and per-device updates/s is directly
+comparable 1 -> N (docs/SCALING.md uses this mode for the CPU-mesh
+sanity table; VERDICT r2 task 7).
 """
 
 import json
@@ -38,7 +44,9 @@ def main() -> int:
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    max_dev = int(sys.argv[1]) if len(sys.argv) > 1 else len(jax.devices())
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    weak = "--weak" in sys.argv[1:]
+    max_dev = int(args[0]) if args else len(jax.devices())
     virtual = jax.default_backend() == "cpu"
 
     from dataclasses import replace
@@ -47,18 +55,21 @@ def main() -> int:
     from gfasort_tpu.parallel import default_mesh
     from gfasort_tpu.parallel.sweep_shard import build_sharded_sweep
 
-    pidx = synthetic_path_index(
-        int(1e5) if virtual else int(1e6),
-        16,
-        int(5e4) if virtual else int(25e4),
-        seed=0,
-    )
+    def make_workload(nd):
+        if weak:
+            # constant shard: 2 paths x 50k steps per device
+            return synthetic_path_index(
+                int(1e5), 2 * nd, int(5e4), seed=0
+            )
+        return synthetic_path_index(
+            int(1e5) if virtual else int(1e6),
+            16,
+            int(5e4) if virtual else int(25e4),
+            seed=0,
+        )
+
     rounds = 16
     frac = 0.8
-    ups = max(1, int(pidx.total_steps * frac))
-    p = replace(
-        bench_params(pidx, 1, 1), iter_max=rounds - 1, min_term_updates=ups
-    )
 
     sizes = []
     d = 1
@@ -67,6 +78,12 @@ def main() -> int:
         d *= 2
     base_rate = None
     for nd in sizes:
+        pidx = make_workload(nd)
+        ups = max(1, int(pidx.total_steps * frac))
+        p = replace(
+            bench_params(pidx, 1, 1), iter_max=rounds - 1,
+            min_term_updates=ups,
+        )
         mesh = default_mesh(nd)
         run, arrays, make_state, info = build_sharded_sweep(
             pidx, p, mesh, per_octave=2, consensus_every=48, active_frac=frac, rotate=8
@@ -91,10 +108,13 @@ def main() -> int:
         print(json.dumps({
             "devices": nd,
             "updates_per_s": round(rate, 1),
+            "updates_per_s_per_device": round(rate / nd, 1),
             "scaling_efficiency": round(eff, 3),
             "virtual_devices": virtual,
+            "weak": weak,
             "psum_bytes_per_consensus": psum_bytes,
             "shard_len": info["shard_len"],
+            "grid_consensus": info["grid_consensus"],
         }))
     if virtual:
         print(

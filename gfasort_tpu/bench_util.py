@@ -165,7 +165,9 @@ def bench_sweep_1d(
         dt = time.perf_counter() - t0
         return dt, np.asarray(jax.device_get(out))
 
+    t0 = time.perf_counter()
     once()  # warm-up/compile
+    warmup = time.perf_counter() - t0
     best, x = min((once() for _ in range(repeats)), key=lambda t: t[0])
     updates = info["n_sweeps"] * info["updates_per_sweep"]
     return {
@@ -175,6 +177,10 @@ def bench_sweep_1d(
         "sweeps": info["n_sweeps"],
         "final_finite": bool(np.isfinite(x).all()),
         "active_frac": frac,
+        # warm-up wall = trace + (tunnel) compile + one run; steady-state
+        # `seconds` is pure device+dispatch time.  A warm persistent
+        # cache shows here as warmup_s ~~ seconds + trace time.
+        "warmup_s": warmup,
     }
 
 
@@ -350,7 +356,9 @@ def bench_sweep_nd(
         dt = time.perf_counter() - t0
         return dt, np.asarray(jax.device_get(out))
 
+    t0 = time.perf_counter()
     once()
+    warmup = time.perf_counter() - t0
     best, xn = min((once() for _ in range(repeats)), key=lambda t: t[0])
     updates = info["n_sweeps"] * info["updates_per_sweep"]
     return {
@@ -360,6 +368,7 @@ def bench_sweep_nd(
         "sweeps": info["n_sweeps"],
         "dims": dims,
         "final_finite": bool(np.isfinite(xn).all()),
+        "warmup_s": warmup,
     }
 
 

@@ -210,9 +210,12 @@ def build_sweep_runner(
         off_slot = {}
         for kk in dk_offs:
             off_slot[int(kk)] = len(dk_list) // 2  # pair slot
-            dk_list.append(jnp.asarray(np.abs(pos_np - np.roll(pos_np, -kk))))
-            dk_list.append(jnp.asarray(np.abs(pos_np - np.roll(pos_np, +kk))))
-        dk_args = tuple(dk_list)
+            dk_list.append(np.abs(pos_np - np.roll(pos_np, -kk)))
+            dk_list.append(np.abs(pos_np - np.roll(pos_np, +kk)))
+        # ONE stacked [2*n_offs, S] argument, rows read by static index
+        # (a slice, fused like the separate arrays) — 50+ separate [S]
+        # args measurably slowed trace/lowering (VERDICT r2 weak #1)
+        dk_args = (jnp.asarray(np.stack(dk_list)),)
     else:
         off_slot = {}
         dk_args = ()
@@ -301,7 +304,7 @@ def build_sweep_runner(
                     guard = iota < S + shift if shift < 0 else iota >= shift
                     w_bool = w_mine | (w_theirs & guard)
                     if use_dk:
-                        d = dks[off_slot[k] * 2 + (0 if shift < 0 else 1)]
+                        d = dks[0][off_slot[k] * 2 + (0 if shift < 0 else 1)]
                     else:
                         d = jnp.abs(pos - jnp.roll(pos, shift))
                     valid = w_bool & (d != 0)
@@ -373,19 +376,34 @@ def build_sweep_runner(
                 _, xs = jax.lax.fori_loop(0, consensus_every, inner, (p_idx, xs))
                 return gc.fn(xs, *cons)[0]
         else:
-            # bucket rotation: the inner period is unrolled in Python so
-            # each sweep's phase — and therefore its offset set — stays
-            # STATIC (consensus_every is a multiple of `rotate`, so the
-            # phase of slot rr is rr % rotate in every period)
+            # bucket rotation: one ROTATION BLOCK (each phase once, in
+            # order) is unrolled in Python so each sweep's offset set
+            # stays static; the period then fori_loops over whole
+            # blocks (consensus_every is a multiple of `rotate`, so the
+            # phase of slot rr is rr % rotate in every period).  This
+            # traces each phase body ONCE per program instead of once
+            # per period slot — ce=48/rotate=8 used to trace 48 sweep
+            # bodies; trace+lowering time was the #1 cost of every cold
+            # start (VERDICT r2).
+            n_phase = len(sweep_fns)
+            n_rot = consensus_every // n_phase
+
             def outer(i, xs):
                 p_idx = p0 + i
-                for rr in range(consensus_every):
-                    idx = p_idx * consensus_every + rr
-                    r = jnp.minimum(idx, n_sweeps - 1)
-                    key = jax.random.fold_in(base_key, idx)
-                    xs = sweep_fns[rr % len(sweep_fns)](
-                        xs, key, etas_j[r], cool_j[r], pos, rank_a, cnt_a, *dks
-                    )
+
+                def rot_block(j, xs):
+                    for rr in range(n_phase):
+                        idx = p_idx * consensus_every + j * n_phase + rr
+                        r = jnp.minimum(idx, n_sweeps - 1)
+                        key = jax.random.fold_in(base_key, idx)
+                        xs = sweep_fns[rr](
+                            xs, key, etas_j[r], cool_j[r], pos, rank_a,
+                            cnt_a, *dks
+                        )
+                    return xs
+
+                xs = (rot_block(jnp.int32(0), xs) if n_rot == 1
+                      else jax.lax.fori_loop(0, n_rot, rot_block, xs))
                 return gc.fn(xs, *cons)[0]
 
         return jax.lax.fori_loop(0, chunk_periods, outer, xs)

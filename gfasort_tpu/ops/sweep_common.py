@@ -23,7 +23,13 @@ import numpy as np
 
 from .fastpow import fast_precise_pow as _fpp_host
 
-__all__ = ["make_offset_sampler"]
+__all__ = ["make_offset_sampler", "INACTIVE"]
+
+# Sentinel "no partner chosen" value emitted by sample_block and matched
+# by every sweep body (ops/sweep.py, ops/sweep_dense.py, shard engines).
+# i32, positive, far above any plausible bucket index; ~INACTIVE is far
+# below any ~ki.
+INACTIVE = np.int32(0x7FFFFFF)
 
 
 def make_offset_sampler(offs: np.ndarray, params, zetas: np.ndarray, fdt):
@@ -134,8 +140,6 @@ def make_offset_sampler(offs: np.ndarray, params, zetas: np.ndarray, fdt):
         g = jnp.clip(general, 0.0, n).astype(jnp.int32)
         z = jnp.where(uz < 1.0, 1, jnp.where(uz < zeta2theta, 2, g))
         return jnp.minimum(z, jump_space)
-
-    INACTIVE = np.int32(0x7FFFFFF)
 
     def sample_block(bits, u, cooling, rank_a, cnt_a, active_frac):
         """Single signed choice array ``sidx`` for one sweep:

@@ -47,6 +47,8 @@ import os
 
 import numpy as np
 
+from .sweep_common import INACTIVE as INACT
+
 __all__ = [
     "dense_kernel_enabled",
     "build_bucket_apply",
@@ -70,9 +72,10 @@ def kernel_kmax() -> int:
     compile (vs ~1 min dense-only) for an unknown runtime gain, so the
     DEFAULT keeps the proven dense-only coverage (k <= 8: one
     phase-independent kernel, 886M pair-updates/s/chip measured).
-    Raise with GFASORT_KERNEL_KMAX (clamped to 8192) to fuse mid
-    buckets too."""
-    return min(int(os.environ.get("GFASORT_KERNEL_KMAX", 8)), _KMAX_HW)
+    Raise with GFASORT_KERNEL_KMAX (clamped to [0, 8192]) to fuse mid
+    buckets too; 0 serves no buckets (build_bucket_apply then returns
+    None and the engines keep the pure-XLA path)."""
+    return min(max(int(os.environ.get("GFASORT_KERNEL_KMAX", 8)), 0), _KMAX_HW)
 
 
 def dense_kernel_enabled(dtype, S: int, n_dense: int) -> bool:
@@ -106,7 +109,12 @@ def build_bucket_apply(buckets, S: int, fdt, br: int = 256,
     Arrays are flat [S]; S need not be 128*br-aligned (padded here,
     sliced on return).  When called inside ``shard_map``, pass
     ``vma={axis_name}``.
+
+    Returns None for an empty bucket list (a do-nothing Pallas pass
+    would still DMA all inputs; callers fall back to the XLA path).
     """
+    if not buckets:
+        return None
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -117,7 +125,6 @@ def build_bucket_apply(buckets, S: int, fdt, br: int = 256,
 
     buckets = [(int(k), int(ki)) for k, ki in buckets]
     assert all(1 <= k <= _KMAX_HW for k, _ in buckets)
-    INACT = np.int32(0x7FFFFFF)
 
     if interpret:
         # Non-TPU (test) path: same math in plain jnp ops.
@@ -322,7 +329,13 @@ def build_dense_apply_nd(n_dense: int, S: int, D: int, fdt, br: int = 256,
 
     br=256 (not 512): the 2+D input windows plus their transposed
     halo'd copies and the unrolled buckets' intermediates must fit the
-    16MB scoped-VMEM stack."""
+    16MB scoped-VMEM stack.
+
+    Returns None for an empty bucket list (see build_bucket_apply)."""
+    if buckets is not None and not buckets:
+        return None
+    if n_dense < 1 and buckets is None:
+        return None
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -335,7 +348,6 @@ def build_dense_apply_nd(n_dense: int, S: int, D: int, fdt, br: int = 256,
         buckets = [(k, k - 1) for k in range(1, n_dense + 1)]
     buckets = [(int(k), int(ki)) for k, ki in buckets]
     assert all(1 <= k <= _KMAX_HW for k, _ in buckets)
-    INACT = np.int32(0x7FFFFFF)
 
     if interpret:
         def apply_ref(my_pos, sidx, my_c, eta):

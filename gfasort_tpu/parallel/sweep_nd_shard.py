@@ -200,18 +200,29 @@ def build_sharded_sweep_nd(
         dev = jax.lax.axis_index(axis)
         base = jax.random.fold_in(base_key, dev)
 
-        # rotation: Python-unrolled period keeps each slot's phase (and
-        # offset set) static; no lax.cond (see ops/sweep_common.py)
+        # rotation: Python-unroll ONE rotation block (each phase once),
+        # fori_loop over blocks — traces each phase body once per
+        # program, not once per period slot (see ops/sweep.py); no
+        # lax.cond (see ops/sweep_common.py)
+        n_phase = len(sweep_fns)
+        n_rot = consensus_every // n_phase
+
         def outer(i, cs):
             p_idx = p0 + i
-            for rr in range(consensus_every):
-                idx = p_idx * consensus_every + rr
-                r = jnp.minimum(idx, n_sweeps - 1)
-                key = jax.random.fold_in(base, idx)
-                cs = sweep_fns[rr % len(sweep_fns)](
-                    cs, key, etas_j[r], cool_j[r], pos, rank_a, cnt_a,
-                    rev_a, len_a
-                )
+
+            def rot_block(j, cs):
+                for rr in range(n_phase):
+                    idx = p_idx * consensus_every + j * n_phase + rr
+                    r = jnp.minimum(idx, n_sweeps - 1)
+                    key = jax.random.fold_in(base, idx)
+                    cs = sweep_fns[rr](
+                        cs, key, etas_j[r], cool_j[r], pos, rank_a, cnt_a,
+                        rev_a, len_a
+                    )
+                return cs
+
+            cs = (rot_block(jnp.int32(0), cs) if n_rot == 1
+                  else jax.lax.fori_loop(0, n_rot, rot_block, cs))
             return consensus(cs, node_a, w_a, inv_cnt_a, *cons)[0]
 
         cs = jax.lax.fori_loop(0, chunk_periods, outer, cs)

@@ -337,17 +337,28 @@ def build_sharded_sweep(
                 _, xs = jax.lax.fori_loop(0, consensus_every, inner, (p_idx, xs))
                 return consensus(xs, node_a, w_a, inv_cnt_a, *cons)[0]
         else:
-            # rotation: Python-unrolled period keeps each slot's phase
-            # (and offset set) static — see ops/sweep.py
+            # rotation: Python-unroll ONE rotation block (each phase
+            # once), fori_loop over blocks — traces each phase body
+            # once per program, not once per period slot (see
+            # ops/sweep.py)
+            n_phase = len(sweep_fns)
+            n_rot = consensus_every // n_phase
+
             def outer(i, xs):
                 p_idx = p0 + i
-                for rr in range(consensus_every):
-                    idx = p_idx * consensus_every + rr
-                    r = jnp.minimum(idx, n_sweeps - 1)
-                    key = jax.random.fold_in(base, idx)
-                    xs = sweep_fns[rr % len(sweep_fns)](
-                        xs, key, etas_j[r], cool_j[r], pos, rank_a, cnt_a
-                    )
+
+                def rot_block(j, xs):
+                    for rr in range(n_phase):
+                        idx = p_idx * consensus_every + j * n_phase + rr
+                        r = jnp.minimum(idx, n_sweeps - 1)
+                        key = jax.random.fold_in(base, idx)
+                        xs = sweep_fns[rr](
+                            xs, key, etas_j[r], cool_j[r], pos, rank_a, cnt_a
+                        )
+                    return xs
+
+                xs = (rot_block(jnp.int32(0), xs) if n_rot == 1
+                      else jax.lax.fori_loop(0, n_rot, rot_block, xs))
                 return consensus(xs, node_a, w_a, inv_cnt_a, *cons)[0]
 
         xs = jax.lax.fori_loop(0, chunk_periods, outer, xs)
@@ -420,7 +431,9 @@ def build_sharded_sweep(
 
     info = {"n_sweeps": n_sweeps, "updates_per_sweep": updates_per_sweep,
             "active_frac": active_frac, "n_offsets": K, "shard_len": L,
-            "rotate": rotate, "consensus_every": consensus_every}
+            "rotate": rotate, "consensus_every": consensus_every,
+            "grid_consensus": grid is not None,
+            "grid_coverage": grid["coverage"] if grid is not None else None}
     return run, arrays, make_state, info
 
 
