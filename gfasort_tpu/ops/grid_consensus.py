@@ -318,11 +318,16 @@ def make_grid_fns(
     N = int(n_nodes)
     T = int(tile)
     g = -(-S // T)
-    S_pad = g * T
     Wh = W // _LANE
     m = W // D
     L = seg_tiles * D  # per-segment window span at stride D
-    g_pad = n_seg * seg_tiles  # whole segments for the scan (pad tiles dead)
+    # The one-hot/dot stage runs over WHOLE segments (g padded to
+    # n_seg*seg_tiles, pad tiles dead) so the segment scans below can
+    # slice fixed [seg_tiles]-tile blocks without a separate pad+
+    # re-layout copy of the [R, g, W] window buffer (a real transpose
+    # for R > 1; the dead-tile dot work is ~3% and free vs that copy).
+    g_pad = n_seg * seg_tiles
+    S_pad = g_pad * T
     # node buffer: [OFF | N nodes | W + seg_tiles*D slack]; anchors
     # arrive in buffer coordinates (plan_grid adds OFF)
     OFF = seg_tiles * D
@@ -330,14 +335,17 @@ def make_grid_fns(
     HIGH = jax.lax.Precision.HIGHEST
 
     def _one_hots(lidx_a):
-        hi_i = lidx_a >> 7                       # [g, T]; -1 for dead/oob
-        lo_i = lidx_a & (_LANE - 1)
-        iota_hi = lax.broadcasted_iota(jnp.int32, (g, Wh, T), 1)
-        iota_lo = lax.broadcasted_iota(jnp.int32, (g, T, _LANE), 2)
-        sel_hi = hi_i[:, None, :] == iota_hi     # [g, Wh, T] bool
+        # pad [g, T] -> [g_pad, T] with -1 (dead): pad tiles select
+        # nothing in either one-hot factor
+        lidx_p = jnp.full((g_pad, T), -1, jnp.int32).at[:g].set(lidx_a)
+        hi_i = lidx_p >> 7                       # [g_pad, T]; -1 dead/oob
+        lo_i = lidx_p & (_LANE - 1)
+        iota_hi = lax.broadcasted_iota(jnp.int32, (g_pad, Wh, T), 1)
+        iota_lo = lax.broadcasted_iota(jnp.int32, (g_pad, T, _LANE), 2)
+        sel_hi = hi_i[:, None, :] == iota_hi     # [g_pad, Wh, T] bool
         oh_lo = (
-            (lo_i[:, :, None] == iota_lo) & (lidx_a[:, :, None] >= 0)
-        ).astype(jnp.float32)                    # [g, T, LANE]
+            (lo_i[:, :, None] == iota_lo) & (lidx_p[:, :, None] >= 0)
+        ).astype(jnp.float32)                    # [g_pad, T, LANE]
         return sel_hi, oh_lo
 
     def fwd(xs, lidx_a, anchors_a, oob_steps_a, oob_nodes_a):
@@ -349,30 +357,32 @@ def make_grid_fns(
         xs_pad = jnp.zeros((R, S_pad + 1), jnp.float32).at[:, :S].set(
             xs2.astype(jnp.float32)
         )
-        xs_t = xs_pad[:, :S_pad].reshape(R, g, T)
+        xs_t = xs_pad[:, :S_pad].reshape(R, g_pad, T)
 
         sel_hi, oh_lo = _one_hots(lidx_a)
         # a[r, j, hi, t] = sel_hi * xs; dot over t against oh_lo
-        a = jnp.where(sel_hi[None], xs_t[:, :, None, :], 0.0)  # [R,g,Wh,T]
+        a = jnp.where(sel_hi[None], xs_t[:, :, None, :], 0.0)
         wsum = lax.dot_general(
             a, oh_lo,
             dimension_numbers=(((3,), (1,)), ((1,), (0,))),
             preferred_element_type=jnp.float32,
             precision=HIGH,
-        )                                         # [g, R, Wh, LANE]
-        wsum = wsum.transpose(1, 0, 2, 3).reshape(R, g, W)
+        )                                         # [g_pad, R, Wh, LANE]
+        wsum = wsum.transpose(1, 0, 2, 3).reshape(R, g_pad, W)
 
         # window -> node: overlap-add at fixed stride (dynamic anchors).
         # lax.scan over segments, NOT a Python loop: the unrolled form
         # emitted ~n_seg*m dynamic_slice/_update_slice pairs (~1,000+
         # HLO ops at S=4M), which dominated trace+compile time of every
-        # engine that embeds the consensus (VERDICT r2 weak #1).  All
-        # segments share one slice shape (pad tiles contribute zeros).
-        wsum_pad = jnp.zeros((R, g_pad, W), jnp.float32).at[:, :g].set(wsum)
-        w_seg = wsum_pad.reshape(R, n_seg, seg_tiles, W).transpose(1, 0, 2, 3)
-
+        # engine that embeds the consensus (VERDICT r2 weak #1).  Each
+        # scan step slices its fixed-size block out of the invariant
+        # window buffer by segment index — no stacked re-layout.
         def fwd_seg(ssum, seg_in):
-            off, w = seg_in  # off: scalar i32; w: [R, seg_tiles, W]
+            off, k = seg_in  # scalars: anchor (buffer coords), seg idx
+            w = lax.dynamic_slice(
+                wsum, (jnp.int32(0), k * seg_tiles, jnp.int32(0)),
+                (R, seg_tiles, W),
+            )
             for r in range(m):
                 chunk = w[:, :, r * D : (r + 1) * D].reshape(R, L)
                 o = (off + r * D).astype(jnp.int32)
@@ -386,9 +396,12 @@ def make_grid_fns(
         # so its varying-manual-axes match the scanned operands when the
         # fns run inside shard_map (axis-name-agnostic; scan-vma rule)
         ssum = jnp.zeros((R, n_pad), jnp.float32) + 0.0 * xs_pad[:, :1]
-        ssum, _ = lax.scan(fwd_seg, ssum, (anchors_a, w_seg))
+        ssum, _ = lax.scan(
+            fwd_seg, ssum,
+            (anchors_a, jnp.arange(n_seg, dtype=jnp.int32)),
+        )
         # exact element fallback for out-of-band steps (sentinel points
-        # at the padded zero slot / node slot N)
+        # at a padded zero slot / node slot N)
         ssum = ssum.at[:, OFF + oob_nodes_a].add(xs_pad[:, oob_steps_a])
         return ssum[0] if one_row else ssum
 
@@ -405,8 +418,10 @@ def make_grid_fns(
 
         sel_hi, oh_lo = _one_hots(lidx_a)
 
-        # node -> window fetch: scan over segments (see fwd_seg comment)
-        def bwd_seg(_, off):
+        # node -> window fetch: scan over segments writing fixed-size
+        # blocks into the carried window buffer (see fwd_seg comment)
+        def bwd_seg(xwin, seg_in):
+            off, k = seg_in
             parts = [
                 lax.dynamic_slice(
                     x_ext, (jnp.int32(0), (off + r * D).astype(jnp.int32)),
@@ -414,17 +429,28 @@ def make_grid_fns(
                 ).reshape(R, seg_tiles, D)
                 for r in range(m)
             ]
-            return None, jnp.concatenate(parts, axis=2)  # [R, seg_tiles, W]
+            xwin = lax.dynamic_update_slice(
+                xwin, jnp.concatenate(parts, axis=2),
+                (jnp.int32(0), k * seg_tiles, jnp.int32(0)),
+            )
+            return xwin, None
 
-        _, xw_seg = lax.scan(bwd_seg, None, anchors_a)
-        xwin = xw_seg.transpose(1, 0, 2, 3).reshape(R, g_pad, W)[:, :g]
+        # carry vma must match the scanned anchors (per-shard varying);
+        # xs2 is the only operand guaranteed varying here (x_node may be
+        # a psum output, which is axis-invariant)
+        xwin = (jnp.zeros((R, g_pad, W), jnp.float32)
+                + 0.0 * xs2[:, :1, None].astype(jnp.float32))
+        xwin, _ = lax.scan(
+            bwd_seg, xwin,
+            (anchors_a, jnp.arange(n_seg, dtype=jnp.int32)),
+        )
 
         e = lax.dot_general(
-            xwin.reshape(R, g, Wh, _LANE), oh_lo,
+            xwin.reshape(R, g_pad, Wh, _LANE), oh_lo,
             dimension_numbers=(((3,), (2,)), ((1,), (0,))),
             preferred_element_type=jnp.float32,
             precision=HIGH,
-        )                                         # [g, R, Wh, T]
+        )                                         # [g_pad, R, Wh, T]
         xs_new = jnp.sum(
             jnp.where(sel_hi[:, None], e, 0.0), axis=2
         ).transpose(1, 0, 2).reshape(R, S_pad)

@@ -212,10 +212,15 @@ def build_sweep_runner(
             off_slot[int(kk)] = len(dk_list) // 2  # pair slot
             dk_list.append(np.abs(pos_np - np.roll(pos_np, -kk)))
             dk_list.append(np.abs(pos_np - np.roll(pos_np, +kk)))
-        # ONE stacked [2*n_offs, S] argument, rows read by static index
-        # (a slice, fused like the separate arrays) — 50+ separate [S]
-        # args measurably slowed trace/lowering (VERDICT r2 weak #1)
-        dk_args = (jnp.asarray(np.stack(dk_list)),)
+        # SEPARATE [S] arguments, NOT one stacked [n_dk, S] array:
+        # static-index row reads of a stacked operand break elementwise
+        # fusion on TPU (each row materializes), measured -30% on the
+        # headline (609M vs 874M upd/s, scratch/headline_probe.py);
+        # GFASORT_DK_STACK=1 re-enables stacking for comparison
+        if os.environ.get("GFASORT_DK_STACK", "0") == "1":
+            dk_args = (jnp.asarray(np.stack(dk_list)),)
+        else:
+            dk_args = tuple(jnp.asarray(a) for a in dk_list)
     else:
         off_slot = {}
         dk_args = ()
@@ -304,7 +309,8 @@ def build_sweep_runner(
                     guard = iota < S + shift if shift < 0 else iota >= shift
                     w_bool = w_mine | (w_theirs & guard)
                     if use_dk:
-                        d = dks[0][off_slot[k] * 2 + (0 if shift < 0 else 1)]
+                        slot = off_slot[k] * 2 + (0 if shift < 0 else 1)
+                        d = dks[0][slot] if len(dks) == 1 else dks[slot]
                     else:
                         d = jnp.abs(pos - jnp.roll(pos, shift))
                     valid = w_bool & (d != 0)
@@ -387,6 +393,7 @@ def build_sweep_runner(
             # start (VERDICT r2).
             n_phase = len(sweep_fns)
             n_rot = consensus_every // n_phase
+            full_unroll = os.environ.get("GFASORT_ROT_UNROLL", "0") == "1"
 
             def outer(i, xs):
                 p_idx = p0 + i
@@ -402,8 +409,13 @@ def build_sweep_runner(
                         )
                     return xs
 
-                xs = (rot_block(jnp.int32(0), xs) if n_rot == 1
-                      else jax.lax.fori_loop(0, n_rot, rot_block, xs))
+                if full_unroll:
+                    for j in range(n_rot):
+                        xs = rot_block(jnp.int32(j), xs)
+                elif n_rot == 1:
+                    xs = rot_block(jnp.int32(0), xs)
+                else:
+                    xs = jax.lax.fori_loop(0, n_rot, rot_block, xs)
                 return gc.fn(xs, *cons)[0]
 
         return jax.lax.fori_loop(0, chunk_periods, outer, xs)
