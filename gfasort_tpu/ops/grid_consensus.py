@@ -377,19 +377,31 @@ def make_grid_fns(
         # engine that embeds the consensus (VERDICT r2 weak #1).  Each
         # scan step slices its fixed-size block out of the invariant
         # window buffer by segment index — no stacked re-layout.
+        # Each dynamic_slice/_update_slice at a data-dependent offset
+        # costs ~7 us on TPU regardless of loop structure (measured in
+        # scratch/gc_tile_probe.py: consensus time tracks segment
+        # count, not dot FLOPs).  So per segment the m strided chunks
+        # are first combined into ONE contiguous [R, L + (m-1)D] run
+        # with STATIC-offset adds (fusible), then applied with a single
+        # dynamic slice+add+update — 3 dynamic ops per segment instead
+        # of 1 + 2m.
+        LC = L + (m - 1) * D
+
         def fwd_seg(ssum, seg_in):
             off, k = seg_in  # scalars: anchor (buffer coords), seg idx
             w = lax.dynamic_slice(
                 wsum, (jnp.int32(0), k * seg_tiles, jnp.int32(0)),
                 (R, seg_tiles, W),
             )
+            comb = jnp.zeros((R, LC), jnp.float32)
             for r in range(m):
                 chunk = w[:, :, r * D : (r + 1) * D].reshape(R, L)
-                o = (off + r * D).astype(jnp.int32)
-                seg = lax.dynamic_slice(ssum, (jnp.int32(0), o), (R, L))
-                ssum = lax.dynamic_update_slice(
-                    ssum, seg + chunk, (jnp.int32(0), o)
-                )
+                comb = comb.at[:, r * D : r * D + L].add(chunk)
+            o = off.astype(jnp.int32)
+            seg = lax.dynamic_slice(ssum, (jnp.int32(0), o), (R, LC))
+            ssum = lax.dynamic_update_slice(
+                ssum, seg + comb, (jnp.int32(0), o)
+            )
             return ssum, None
 
         # initial carry derives from a varying input (0 * xs broadcast)
@@ -420,13 +432,17 @@ def make_grid_fns(
 
         # node -> window fetch: scan over segments writing fixed-size
         # blocks into the carried window buffer (see fwd_seg comment)
+        # one dynamic fetch of the segment's whole [R, L + (m-1)D] node
+        # run; the m window rows are STATIC slices of it (see fwd_seg)
+        LC = L + (m - 1) * D
+
         def bwd_seg(xwin, seg_in):
             off, k = seg_in
+            ext = lax.dynamic_slice(
+                x_ext, (jnp.int32(0), off.astype(jnp.int32)), (R, LC)
+            )
             parts = [
-                lax.dynamic_slice(
-                    x_ext, (jnp.int32(0), (off + r * D).astype(jnp.int32)),
-                    (R, L),
-                ).reshape(R, seg_tiles, D)
+                ext[:, r * D : r * D + L].reshape(R, seg_tiles, D)
                 for r in range(m)
             ]
             xwin = lax.dynamic_update_slice(

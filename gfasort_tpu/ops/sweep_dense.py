@@ -66,16 +66,16 @@ _KMAX_HW = _HR * _LANE  # 8192: largest offset the kernel CAN serve
 
 def kernel_kmax() -> int:
     """Largest offset the engines hand to the fused kernel.  The
-    hardware limit is 8192, but every phase's mid buckets make the
-    kernel program phase-specific and large — measured on the axon
-    remote-compile path, the full-coverage variant took >30 min to
-    compile (vs ~1 min dense-only) for an unknown runtime gain, so the
-    DEFAULT keeps the proven dense-only coverage (k <= 8: one
-    phase-independent kernel, 886M pair-updates/s/chip measured).
-    Raise with GFASORT_KERNEL_KMAX (clamped to [0, 8192]) to fuse mid
-    buckets too; 0 serves no buckets (build_bucket_apply then returns
-    None and the engines keep the pure-XLA path)."""
-    return min(max(int(os.environ.get("GFASORT_KERNEL_KMAX", 8)), 0), _KMAX_HW)
+    hardware limit is 8192; the DEFAULT is 1024 (VERDICT r2 task 4
+    re-measured once per-phase bodies trace once): mid buckets up to
+    1024 fold into the kernel for 870M -> 964M pair-updates/s/chip at
+    a ~67s cold warmup, matching kmax=8192's rate at 1/6 its compile
+    time (r2's dense-only default measured 870M/8192-variant >30 min
+    compile under the then per-slot tracing).  Override with
+    GFASORT_KERNEL_KMAX (clamped to [0, 8192]); 0 serves no buckets
+    (build_bucket_apply then returns None and the engines keep the
+    pure-XLA path)."""
+    return min(max(int(os.environ.get("GFASORT_KERNEL_KMAX", 1024)), 0), _KMAX_HW)
 
 
 def dense_kernel_enabled(dtype, S: int, n_dense: int) -> bool:
@@ -90,6 +90,39 @@ def dense_kernel_enabled(dtype, S: int, n_dense: int) -> bool:
     import jax
 
     return jax.default_backend() == "tpu" and S >= 1 << 18
+
+
+def _qs_for(buckets):
+    """Distinct lane-shift values q whose rolled copies vert()
+    materializes for these buckets (see kernel comments)."""
+    qs = {0}
+    for k_, _ in buckets:
+        for sg in (+1, -1):
+            q_, rr_ = divmod(sg * k_, _LANE)
+            qs.add(q_)
+            if rr_:
+                qs.add(q_ + 1)
+    return qs
+
+
+def _fit_br(br: int, n_arrays: int, n_q: int, budget=None) -> int:
+    """Shrink the block row count until the kernel's scoped-VMEM
+    footprint fits.  Modeled term: n_arrays x (n_q rolled copies + 1
+    scratch window) x [BR + 2*HR, 128] f32/i32.  Mosaic's scoped-vmem
+    stack is 16MB and its real usage runs ~2.2-2.7x this model
+    (bucket-body temporaries), so the default budget is calibrated at
+    5.5MB against the measured OOMs: nD D=3 kmax=1024 modeled 7.4M /
+    measured 16.68M, nD D=2 (po=3 phase) modeled ~6.3M / measured
+    16.70M — both OOM at BR=256, fit at 128; the 1D kernel (3 arrays,
+    modeled ~5.3M) compiles and runs at BR=256."""
+    if budget is None:
+        budget = int(os.environ.get("GFASORT_KERNEL_VMEM_BUDGET", 5_500_000))
+    while br > 64:
+        footprint = n_arrays * (n_q + 1) * (br + 2 * _HR) * _LANE * 4
+        if footprint <= budget:
+            break
+        br //= 2
+    return br
 
 
 def _shift_ref(jnp, a, k, fill):
@@ -161,7 +194,8 @@ def build_bucket_apply(buckets, S: int, fdt, br: int = 256,
 
         return apply_ref
 
-    BR = int(br)
+    qs_all = _qs_for(buckets)
+    BR = _fit_br(int(br), 3, len(qs_all))
     BLK = BR * _LANE
     nb = -(-S // BLK)
     S_pad = nb * BLK
@@ -190,13 +224,7 @@ def build_bucket_apply(buckets, S: int, fdt, br: int = 256,
         # shifted view s+k with k = q*128 + rr is then <= 2 slices of
         # xt_q / xt_{q+1} at a fixed lane offset, concatenated on
         # sublanes (the concat dimension).
-        qs = {0}
-        for k_, _ in buckets:
-            for sg in (+1, -1):
-                q_, rr_ = divmod(sg * k_, _LANE)
-                qs.add(q_)
-                if rr_:
-                    qs.add(q_ + 1)
+        qs = qs_all
 
         def vert(vref):
             xt = vref[:].T  # [128, W]: xt[c, j] = flat (r0+j)*128 + c
@@ -389,13 +417,21 @@ def build_dense_apply_nd(n_dense: int, S: int, D: int, fdt, br: int = 256,
 
         return apply_ref
 
-    BR = int(br)
+    qs_all = _qs_for(buckets)
+    n_in = 2 + D  # pos, sidx, c_0..c_{D-1}
+    # mid buckets (k > 8) in the nD kernel: force BR=128 — measured
+    # OOMs at BR=256 do not track the n_q model reliably here (one
+    # n_q=7 phase compiled, another blew the 16MB stack by 720KB),
+    # and D=3/BR=128 is proven good (9.8 ms/sweep, scratch/
+    # nd_kmax_probe.py)
+    if any(k > 8 for k, _ in buckets):
+        br = min(int(br), 128)
+    BR = _fit_br(int(br), n_in, len(qs_all))
     BLK = BR * _LANE
     nb = -(-S // BLK)
     S_pad = nb * BLK
     rows = S_pad // _LANE
     W = BR + 2 * _HR
-    n_in = 2 + D  # pos, sidx, c_0..c_{D-1}
 
     def kernel(*refs):
         hbm = refs[:n_in]
@@ -416,13 +452,7 @@ def build_dense_apply_nd(n_dense: int, S: int, D: int, fdt, br: int = 256,
         for cp in cps:
             cp.wait()
 
-        qs = {0}
-        for k_, _ in buckets:
-            for sg in (+1, -1):
-                q_, rr_ = divmod(sg * k_, _LANE)
-                qs.add(q_)
-                if rr_:
-                    qs.add(q_ + 1)
+        qs = qs_all
 
         def vert(vref):
             # see the 1D kernel's vert() comment (lane-aligned views)
