@@ -7,9 +7,8 @@ import pytest
 jax = pytest.importorskip("jax")
 import jax.numpy as jnp  # noqa: E402
 
+from gfasort_tpu.ops.sweep_common import INACTIVE  # noqa: E402
 from gfasort_tpu.ops.sweep_dense import build_dense_apply  # noqa: E402
-
-INACTIVE = np.int32(0x7FFFFFF)
 
 
 def _xla_reference(xs, pos, sidx, eta, n_dense, S):
@@ -241,3 +240,66 @@ def test_bucket_apply_mid_offsets():
             want_c += w
     np.testing.assert_allclose(np.asarray(csum), want_c, atol=0)
     np.testing.assert_allclose(np.asarray(dsum), want_d, rtol=2e-5, atol=1e-4)
+
+
+@pytest.mark.skipif(
+    jax.default_backend() != "tpu",
+    reason="real (non-interpret) Mosaic kernel needs TPU hardware",
+)
+@pytest.mark.parametrize("case", ["dense", "mid", "nd2"])
+def test_real_kernel_matches_interpret_on_tpu(case):
+    """ADVICE r2: the Mosaic kernel body (DMA windows, transpose,
+    lane rolls, sublane concat views) is otherwise never exercised by
+    CI — run the REAL kernel against the pure-jnp interpret path on
+    random inputs.  (Run manually on the TPU terminal:
+    ``python -m pytest tests/test_sweep_dense.py -k real_kernel``
+    WITHOUT the conftest's cpu force, e.g. from the repo root with
+    ``GFASORT_TEST_TPU=1``.)"""
+    from gfasort_tpu.ops.sweep_dense import (
+        build_bucket_apply,
+        build_dense_apply_nd,
+    )
+
+    S = 128 * 512 + 7
+    rng = np.random.default_rng(42)
+    pos = np.cumsum(rng.integers(1, 4, S)).astype(np.float32)
+    iota = np.arange(S)
+    if case == "dense":
+        buckets = [(k, k - 1) for k in range(1, 9)]
+    else:
+        buckets = [(k, i) for i, k in
+                   enumerate([1, 2, 3, 4, 5, 6, 7, 8, 16, 181, 1024])]
+    kis = [ki for _, ki in buckets]
+    raw = rng.choice(kis + [~ki for ki in kis] + [int(INACTIVE)], S)
+    sidx = raw.astype(np.int32)
+    for k, ki in buckets:
+        sidx = np.where((sidx == ki) & (iota + k >= S), INACTIVE, sidx)
+        sidx = np.where((sidx == ~ki) & (iota - k < 0), INACTIVE, sidx)
+    eta = np.float32(1.3)
+
+    if case == "nd2":
+        D = 2
+        my_pos = pos
+        my_c = [jnp.asarray(rng.standard_normal(S).astype(np.float32) * 50)
+                for _ in range(D)]
+        real = build_dense_apply_nd(8, S, D, jnp.float32, interpret=False,
+                                    buckets=buckets)
+        ref = build_dense_apply_nd(8, S, D, jnp.float32, interpret=True,
+                                   buckets=buckets)
+        acc_r, w_r = real(jnp.asarray(my_pos), jnp.asarray(sidx), my_c, eta)
+        acc_i, w_i = ref(jnp.asarray(my_pos), jnp.asarray(sidx), my_c, eta)
+        np.testing.assert_allclose(np.asarray(w_r), np.asarray(w_i), atol=0)
+        for a_r, a_i in zip(acc_r, acc_i):
+            np.testing.assert_allclose(
+                np.asarray(a_r), np.asarray(a_i), rtol=2e-5, atol=1e-4
+            )
+        return
+
+    xs = rng.standard_normal(S).astype(np.float32) * 100
+    real = build_bucket_apply(buckets, S, jnp.float32, interpret=False)
+    ref = build_bucket_apply(buckets, S, jnp.float32, interpret=True)
+    d_r, c_r = real(jnp.asarray(xs), jnp.asarray(pos), jnp.asarray(sidx), eta)
+    d_i, c_i = ref(jnp.asarray(xs), jnp.asarray(pos), jnp.asarray(sidx), eta)
+    np.testing.assert_allclose(np.asarray(c_r), np.asarray(c_i), atol=0)
+    np.testing.assert_allclose(np.asarray(d_r), np.asarray(d_i),
+                               rtol=2e-5, atol=1e-4)
