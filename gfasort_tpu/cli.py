@@ -109,7 +109,13 @@ def _enable_compile_cache():
                 f"paid this run; a rerun on the same shapes will be warm)"
             )
         else:
-            log("[gfasort] compile cache: warm (no new entries written)")
+            log(
+                "[gfasort] compile cache: no new local entries "
+                "(NOTE: remote axon-backend compiles bypass this local "
+                "cache entirely — they are cached terminal-side and may "
+                "still have been cold; the per-step timings above are "
+                "the ground truth)"
+            )
 
     return report
 

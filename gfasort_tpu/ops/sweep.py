@@ -204,27 +204,30 @@ def build_sweep_runner(
     dk_offs = [kk for kk in offs.tolist()
                if not (use_dense and kk <= kernel_kmax())]
     use_dk = 2 * len(dk_offs) * S * itemsize <= dk_budget
-    if use_dk:
-        pos_np = np.asarray(pidx.step_pos, dtype=dtype)
-        dk_list = []
-        off_slot = {}
+    # Tables are computed ON DEVICE, INSIDE run_chunk, from the single
+    # uploaded pos array (r3 measurements):
+    #   * host-built tables were ~1 GB of host->device transfer, which
+    #     at the tunnel's few-MB/s dominated the whole Y step;
+    #   * a separate jitted builder program still paid the ~60-80 s
+    #     FIXED remote-compile overhead that every distinct program
+    #     costs on this backend (a 3-roll toy program compiled in 78 s;
+    #     the local persistent cache never captures axon compiles).
+    # Recomputing them per dispatch is ~5 ms of device time.
+    #
+    # They stay SEPARATE [S] values, NOT one stacked [n_dk, S] array:
+    # static-index row reads of a stacked operand break elementwise
+    # fusion on TPU (each row materializes), measured -30% on the
+    # headline (609M vs 874M upd/s, scratch/headline_probe.py).
+    off_slot = {int(kk): i for i, kk in enumerate(dk_offs)} if use_dk else {}
+
+    def make_dks(p):
+        if not use_dk:
+            return ()
+        outs = []
         for kk in dk_offs:
-            off_slot[int(kk)] = len(dk_list) // 2  # pair slot
-            dk_list.append(np.abs(pos_np - np.roll(pos_np, -kk)))
-            dk_list.append(np.abs(pos_np - np.roll(pos_np, +kk)))
-        # SEPARATE [S] arguments, NOT one stacked [n_dk, S] array:
-        # static-index row reads of a stacked operand break elementwise
-        # fusion on TPU (each row materializes), measured -30% on the
-        # headline (609M vs 874M upd/s, scratch/headline_probe.py);
-        # GFASORT_DK_STACK=1 re-enables stacking for comparison
-        if os.environ.get("GFASORT_DK_STACK", "0") == "1":
-            dk_args = (jnp.asarray(np.stack(dk_list)),)
-        else:
-            dk_args = tuple(jnp.asarray(a) for a in dk_list)
-    else:
-        off_slot = {}
-        dk_args = ()
-    n_dk = len(dk_args)
+            outs.append(jnp.abs(p - jnp.roll(p, -kk)))
+            outs.append(jnp.abs(p - jnp.roll(p, +kk)))
+        return tuple(outs)
 
     # Active fraction per sweep: full-width (Jacobi) rounds measurably
     # hurt fine-scale quality — every node receives the MEAN of ~S/N
@@ -359,15 +362,19 @@ def build_sweep_runner(
     chunk_periods = max(1, min(n_periods, budget // max(S * consensus_every, 1)))
     n_dispatch = -(-n_periods // chunk_periods)
 
+    # ONE jitted program for the whole engine (no separate dk builder,
+    # no separate finish): every distinct program pays the backend's
+    # ~60-80 s fixed remote-compile overhead, so run_chunk computes
+    # the dk tables in-program, carries the consensus's node means,
+    # and applies the stepless-node passthrough itself.
     @partial(jax.jit, donate_argnums=(0,))
-    def run_chunk(xs, p0, base_key, pos, rank_a, cnt_a, *rest):
+    def run_chunk(xs, p0, base_key, x_node_init, pos, rank_a, cnt_a, *cons):
         # Nested loops, NOT lax.cond: a conditional inside the loop
         # forces per-iteration copies of every captured operand
         # (profiled at ~26 ms per s32[S]/pred[S] array per sweep);
         # running `consensus_every` sweeps per outer step and doing the
         # consensus unconditionally removes them.
-        dks = rest[:n_dk]
-        cons = rest[n_dk:]
+        dks = make_dks(pos)
 
         if len(sweep_fns) == 1:
             def inner(rr, carry):
@@ -377,10 +384,11 @@ def build_sweep_runner(
                 xs = sweep_fns[0](xs, key, etas_j[r], cool_j[r], pos, rank_a, cnt_a, *dks)
                 return (p_idx, xs)
 
-            def outer(i, xs):
+            def outer(i, carry):
+                xs, _ = carry
                 p_idx = p0 + i
                 _, xs = jax.lax.fori_loop(0, consensus_every, inner, (p_idx, xs))
-                return gc.fn(xs, *cons)[0]
+                return gc.fn(xs, *cons)
         else:
             # bucket rotation: one ROTATION BLOCK (each phase once, in
             # order) is unrolled in Python so each sweep's offset set
@@ -395,7 +403,8 @@ def build_sweep_runner(
             n_rot = consensus_every // n_phase
             full_unroll = os.environ.get("GFASORT_ROT_UNROLL", "0") == "1"
 
-            def outer(i, xs):
+            def outer(i, carry):
+                xs, _ = carry
                 p_idx = p0 + i
 
                 def rot_block(j, xs):
@@ -416,29 +425,32 @@ def build_sweep_runner(
                     xs = rot_block(jnp.int32(0), xs)
                 else:
                     xs = jax.lax.fori_loop(0, n_rot, rot_block, xs)
-                return gc.fn(xs, *cons)[0]
+                return gc.fn(xs, *cons)
 
-        return jax.lax.fori_loop(0, chunk_periods, outer, xs)
-
-    @jax.jit
-    def finish(xs, x_node_init, *rest):
-        cons = rest[n_dk:]
-        _, xn_sorted = gc.fn(xs, *cons)
+        # carry length: grid consensus emits [N] means, the gather
+        # fallback emits [n_sorted] (live nodes only)
+        xn_len = getattr(gc, "n_sorted", N)
+        xs, xn = jax.lax.fori_loop(
+            0, chunk_periods, outer, (xs, jnp.zeros(xn_len, xs.dtype))
+        )
         # nodes with no path steps keep their initial positions
-        # (reference: untouched x entries, src/sgd.rs:264-294)
-        return gc.to_node_order(xn_sorted, x_node_init, *cons)
+        # (reference: untouched x entries, src/sgd.rs:264-294); xn is
+        # the LAST period's consensus means — applying a redundant
+        # extra consensus (the old separate `finish` program) is a
+        # no-op on the means (every step of a node already holds them)
+        return xs, gc.to_node_order(xn, x_node_init, *cons)
 
     def run(xs, x_node_init, base_key, pos, rank_a, cnt_a, *rest):
         import jax.numpy as _jnp
 
         for d in range(n_dispatch):
-            xs = run_chunk(
+            xs, xn = run_chunk(
                 xs, _jnp.int32(d * chunk_periods), base_key,
-                pos, rank_a, cnt_a, *rest,
+                x_node_init, pos, rank_a, cnt_a, *rest,
             )
-        return finish(xs, x_node_init, *rest)
+        return xn
 
-    arrays = (pos, rank_arr, cnt_arr) + dk_args + gc.arrays
+    arrays = (pos, rank_arr, cnt_arr) + gc.arrays
 
     def make_state(x0=None):
         x_node0 = np.asarray(

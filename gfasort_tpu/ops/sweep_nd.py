@@ -296,9 +296,15 @@ def build_sweep_nd_runner(
     chunk_periods = max(1, min(n_periods, budget // max(S * consensus_every, 1)))
     n_dispatch = -(-n_periods // chunk_periods)
 
+    has_steps_j = jnp.asarray(cnt_node > 0)
+
+    # ONE jitted program (no separate finish — every distinct program
+    # pays the backend's ~60-80 s fixed remote-compile overhead, see
+    # ops/sweep.py): the chunk carries the consensus's node-end means
+    # and applies the stepless-node passthrough itself.
     @partial(jax.jit, donate_argnums=(0,))
-    def run_chunk(cs, p0, key, pos, rank_a, cnt_a, rev_a, len_a, node_a,
-                  *cons):
+    def run_chunk(cs, p0, key, cs_node_init, pos, rank_a, cnt_a, rev_a,
+                  len_a, node_a, *cons):
         # nested loops, not lax.cond (see ops/sweep_common.py rules)
         if len(sweep_fns) == 1:
             def inner(rr, carry):
@@ -309,10 +315,11 @@ def build_sweep_nd_runner(
                                   cnt_a, rev_a, len_a)
                 return (p_idx, cs)
 
-            def outer(i, cs):
+            def outer(i, carry):
+                cs, _ = carry
                 p_idx = p0 + i
                 _, cs = jax.lax.fori_loop(0, consensus_every, inner, (p_idx, cs))
-                return consensus(cs, node_a, *cons)[0]
+                return consensus(cs, node_a, *cons)
         else:
             # rotation: Python-unroll ONE rotation block (each phase
             # once), fori_loop over blocks — traces each phase body
@@ -321,7 +328,8 @@ def build_sweep_nd_runner(
             n_phase = len(sweep_fns)
             n_rot = consensus_every // n_phase
 
-            def outer(i, cs):
+            def outer(i, carry):
+                cs, _ = carry
                 p_idx = p0 + i
 
                 def rot_block(j, cs):
@@ -337,27 +345,23 @@ def build_sweep_nd_runner(
 
                 cs = (rot_block(jnp.int32(0), cs) if n_rot == 1
                       else jax.lax.fori_loop(0, n_rot, rot_block, cs))
-                return consensus(cs, node_a, *cons)[0]
+                return consensus(cs, node_a, *cons)
 
-        return jax.lax.fori_loop(0, chunk_periods, outer, cs)
-
-    has_steps_j = jnp.asarray(cnt_node > 0)
-
-    @jax.jit
-    def finish(cs, cs_node_init, node_a, *cons):
-        _, x_node = consensus(cs, node_a, *cons)
+        cs, xn = jax.lax.fori_loop(
+            0, chunk_periods, outer, (cs, jnp.zeros_like(cs_node_init))
+        )
         # nodes with no path steps keep their initial coordinates
         # (reference: untouched entries, src/sgd.rs:828-854)
-        return jnp.where(has_steps_j[None, :], x_node, cs_node_init)
+        return cs, jnp.where(has_steps_j[None, :], xn, cs_node_init)
 
     def run(cs, cs_node_init, key, pos, rank_a, cnt_a, rev_a, len_a,
             node_a, *cons):
         for d in range(n_dispatch):
-            cs = run_chunk(
-                cs, jnp.int32(d * chunk_periods), key,
+            cs, xn = run_chunk(
+                cs, jnp.int32(d * chunk_periods), key, cs_node_init,
                 pos, rank_a, cnt_a, rev_a, len_a, node_a, *cons,
             )
-        return finish(cs, cs_node_init, node_a, *cons)
+        return xn
 
     arrays = (pos, rank_arr, cnt_arr, rev_arr, len_arr, node_arr) + cons_arrays
 

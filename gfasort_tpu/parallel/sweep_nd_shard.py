@@ -190,8 +190,10 @@ def build_sharded_sweep_nd(
     chunk_periods = max(1, min(n_periods, budget // max(L * consensus_every, 1)))
     n_dispatch = -(-n_periods // chunk_periods)
 
-    def device_chunk(cs, p0, base_key, pos, rank_a, cnt_a, rev_a, len_a,
-                     node_a, inv_cnt_a, *cons):
+    # ONE shard_map program (no separate finish — see ops/sweep.py on
+    # the backend's fixed per-program remote-compile overhead)
+    def device_chunk(cs, p0, base_key, cs_node_init, pos, rank_a, cnt_a,
+                     rev_a, len_a, node_a, inv_cnt_a, has_steps_a, *cons):
         cs, pos, rank_a, cnt_a, rev_a, len_a, node_a = (
             cs[0], pos[0], rank_a[0], cnt_a[0], rev_a[0], len_a[0], node_a[0]
         )
@@ -207,7 +209,8 @@ def build_sharded_sweep_nd(
         n_phase = len(sweep_fns)
         n_rot = consensus_every // n_phase
 
-        def outer(i, cs):
+        def outer(i, carry):
+            cs, _ = carry
             p_idx = p0 + i
 
             def rot_block(j, cs):
@@ -223,19 +226,13 @@ def build_sharded_sweep_nd(
 
             cs = (rot_block(jnp.int32(0), cs) if n_rot == 1
                   else jax.lax.fori_loop(0, n_rot, rot_block, cs))
-            return consensus(cs, node_a, w_a, inv_cnt_a, *cons)[0]
+            return consensus(cs, node_a, w_a, inv_cnt_a, *cons)
 
-        cs = jax.lax.fori_loop(0, chunk_periods, outer, cs)
-        return cs[None]
-
-    def device_finish(cs, cs_node_init, node_a, inv_cnt_a, has_steps_a,
-                      *cons):
-        cs, node_a = cs[0], node_a[0]
-        cons = tuple(c[0] for c in cons)
-        w_a = (node_a >= 0).astype(cs.dtype)
-        _, x_node = consensus(cs, node_a, w_a, inv_cnt_a, *cons)
+        cs, xn = jax.lax.fori_loop(
+            0, chunk_periods, outer, (cs, jnp.zeros_like(cs_node_init))
+        )
         # stepless nodes keep their initial coordinates
-        return jnp.where(has_steps_a[None, :], x_node, cs_node_init)
+        return cs[None], jnp.where(has_steps_a[None, :], xn, cs_node_init)
 
     shard = NamedSharding(mesh, P(axis))
     repl = NamedSharding(mesh, P())
@@ -246,30 +243,22 @@ def build_sharded_sweep_nd(
         shard_map(
             device_chunk,
             mesh=mesh,
-            in_specs=(P(axis), P(), P(), P(axis), P(axis), P(axis), P(axis),
-                      P(axis), P(axis), P()) + cons_specs,
-            out_specs=P(axis),
+            in_specs=(P(axis), P(), P(), P(), P(axis), P(axis), P(axis),
+                      P(axis), P(axis), P(axis), P(), P()) + cons_specs,
+            out_specs=(P(axis), P()),
         ),
         donate_argnums=(0,),
-    )
-    run_finish = jax.jit(
-        shard_map(
-            device_finish,
-            mesh=mesh,
-            in_specs=(P(axis), P(), P(axis), P(), P()) + cons_specs,
-            out_specs=P(),
-        ),
     )
 
     def run(cs, cs_node_init, base_key, pos, rank_a, cnt_a, rev_a, len_a,
             node_a, inv_cnt_a, has_steps_a, *cons):
         for d in range(n_dispatch):
-            cs = run_chunk(
-                cs, jnp.int32(d * chunk_periods), base_key,
-                pos, rank_a, cnt_a, rev_a, len_a, node_a, inv_cnt_a, *cons,
+            cs, xn = run_chunk(
+                cs, jnp.int32(d * chunk_periods), base_key, cs_node_init,
+                pos, rank_a, cnt_a, rev_a, len_a, node_a, inv_cnt_a,
+                has_steps_a, *cons,
             )
-        return run_finish(cs, cs_node_init, node_a, inv_cnt_a, has_steps_a,
-                          *cons)
+        return xn
 
     arrays = tuple(
         jax.device_put(jnp.asarray(a), shard)

@@ -312,8 +312,12 @@ def build_sharded_sweep(
     chunk_periods = max(1, min(n_periods, budget // max(L * consensus_every, 1)))
     n_dispatch = -(-n_periods // chunk_periods)
 
-    def device_chunk(xs, p0, base_key, pos, rank_a, cnt_a, node_a,
-                     inv_cnt_a, *cons):
+    # ONE shard_map program (no separate finish — every distinct
+    # program pays the backend's ~60-80 s fixed remote-compile
+    # overhead, see ops/sweep.py): the chunk carries the psum'd node
+    # means and applies the stepless-node passthrough itself.
+    def device_chunk(xs, p0, base_key, x_node_init, pos, rank_a, cnt_a,
+                     node_a, inv_cnt_a, has_steps_a, *cons):
         xs, pos, rank_a, cnt_a, node_a = (
             xs[0], pos[0], rank_a[0], cnt_a[0], node_a[0]
         )
@@ -332,10 +336,11 @@ def build_sharded_sweep(
                 xs = sweep_fns[0](xs, key, etas_j[r], cool_j[r], pos, rank_a, cnt_a)
                 return (p_idx, xs)
 
-            def outer(i, xs):
+            def outer(i, carry):
+                xs, _ = carry
                 p_idx = p0 + i
                 _, xs = jax.lax.fori_loop(0, consensus_every, inner, (p_idx, xs))
-                return consensus(xs, node_a, w_a, inv_cnt_a, *cons)[0]
+                return consensus(xs, node_a, w_a, inv_cnt_a, *cons)
         else:
             # rotation: Python-unroll ONE rotation block (each phase
             # once), fori_loop over blocks — traces each phase body
@@ -344,7 +349,8 @@ def build_sharded_sweep(
             n_phase = len(sweep_fns)
             n_rot = consensus_every // n_phase
 
-            def outer(i, xs):
+            def outer(i, carry):
+                xs, _ = carry
                 p_idx = p0 + i
 
                 def rot_block(j, xs):
@@ -359,18 +365,13 @@ def build_sharded_sweep(
 
                 xs = (rot_block(jnp.int32(0), xs) if n_rot == 1
                       else jax.lax.fori_loop(0, n_rot, rot_block, xs))
-                return consensus(xs, node_a, w_a, inv_cnt_a, *cons)[0]
+                return consensus(xs, node_a, w_a, inv_cnt_a, *cons)
 
-        xs = jax.lax.fori_loop(0, chunk_periods, outer, xs)
-        return xs[None]
-
-    def device_finish(xs, x_node_init, node_a, inv_cnt_a, has_steps_a,
-                      *cons):
-        xs, node_a = xs[0], node_a[0]
-        cons = tuple(c[0] for c in cons)
-        w_a = (node_a >= 0).astype(xs.dtype)
-        _, x_node = consensus(xs, node_a, w_a, inv_cnt_a, *cons)
-        return jnp.where(has_steps_a, x_node, x_node_init)
+        xs, xn = jax.lax.fori_loop(
+            0, chunk_periods, outer,
+            (xs, jnp.zeros_like(x_node_init)),
+        )
+        return xs[None], jnp.where(has_steps_a, xn, x_node_init)
 
     shard = NamedSharding(mesh, P(axis))
     repl = NamedSharding(mesh, P())
@@ -381,30 +382,21 @@ def build_sharded_sweep(
         shard_map(
             device_chunk,
             mesh=mesh,
-            in_specs=(P(axis), P(), P(), P(axis), P(axis), P(axis), P(axis),
-                      P()) + cons_specs,
-            out_specs=P(axis),
+            in_specs=(P(axis), P(), P(), P(), P(axis), P(axis), P(axis),
+                      P(axis), P(), P()) + cons_specs,
+            out_specs=(P(axis), P()),
         ),
         donate_argnums=(0,),
-    )
-    run_finish = jax.jit(
-        shard_map(
-            device_finish,
-            mesh=mesh,
-            in_specs=(P(axis), P(), P(axis), P(), P()) + cons_specs,
-            out_specs=P(),
-        ),
     )
 
     def run(xs, x_node_init, base_key, pos, rank_a, cnt_a, node_a,
             inv_cnt_a, has_steps_a, *cons):
         for d in range(n_dispatch):
-            xs = run_chunk(
-                xs, jnp.int32(d * chunk_periods), base_key,
-                pos, rank_a, cnt_a, node_a, inv_cnt_a, *cons,
+            xs, xn = run_chunk(
+                xs, jnp.int32(d * chunk_periods), base_key, x_node_init,
+                pos, rank_a, cnt_a, node_a, inv_cnt_a, has_steps_a, *cons,
             )
-        return run_finish(xs, x_node_init, node_a, inv_cnt_a, has_steps_a,
-                          *cons)
+        return xn
 
     arrays = tuple(
         jax.device_put(jnp.asarray(a), shard)
