@@ -323,8 +323,11 @@ def build_sweep_runner(
                     dx = xs - xs_o
                     dx = jnp.where(dx == 0, fdt(1e-9), dx)
                     mag = jnp.abs(dx)
-                    # for pair (a=me, b=other): I am 'a', I receive -r_x
-                    r_x = (mu * (mag - safe) / 2.0 / mag) * dx
+                    # for pair (a=me, b=other): I am 'a', I receive
+                    # -r_x; dx/|dx| = sign, so one divide per half
+                    # (mirrors the fused kernel, ops/sweep_dense.py)
+                    half_sgn = jnp.where(dx >= 0, fdt(0.5), fdt(-0.5))
+                    r_x = mu * (mag - safe) * half_sgn
                     return -w * r_x, w
 
                 # partner ahead of me (t+k): I chose +k, or they chose -k;

@@ -187,7 +187,12 @@ def build_bucket_apply(buckets, S: int, fdt, br: int = 256,
                     dx = xs - xs_o
                     dx = jnp.where(dx == 0, jnp.asarray(1e-9, xs.dtype), dx)
                     mag = jnp.abs(dx)
-                    r_x = (mu * (mag - safe) / 2.0 / mag) * dx
+                    # (mu*(mag-safe)/2/mag)*dx == mu*(mag-safe)*(+-0.5)
+                    # since dx/|dx| = sign (dx!=0 after the guard) —
+                    # one divide per half instead of two (VPU-bound)
+                    half_sgn = jnp.where(dx >= 0, jnp.asarray(0.5, xs.dtype),
+                                         jnp.asarray(-0.5, xs.dtype))
+                    r_x = mu * (mag - safe) * half_sgn
                     dsum = dsum - w * r_x
                     csum = csum + w
             return dsum, csum
@@ -280,7 +285,11 @@ def build_bucket_apply(buckets, S: int, fdt, br: int = 256,
                 dx = xs - xs_o
                 dx = jnp.where(dx == 0, jnp.float32(1e-9), dx)
                 mag = jnp.abs(dx)
-                r_x = (mu * (mag - safe) / 2.0 / mag) * dx
+                # dx/|dx| = sign: one divide per half, not two (see
+                # the interpret path above; VPU-compute-bound kernel)
+                half_sgn = jnp.where(dx >= 0, jnp.float32(0.5),
+                                     jnp.float32(-0.5))
+                r_x = mu * (mag - safe) * half_sgn
                 dsum = dsum - w * r_x
                 csum = csum + w
         dsum_ref[:] = dsum.T
@@ -408,8 +417,11 @@ def build_dense_apply_nd(n_dense: int, S: int, D: int, fdt, br: int = 256,
                         zero, jnp.asarray(1e-9, my_pos.dtype), deltas[0])
                     mag_sq = jnp.where(
                         zero, jnp.asarray(1e-18, my_pos.dtype), mag_sq)
-                    mag = jnp.sqrt(mag_sq)
-                    r = jnp.minimum(mu * (mag - safe) / 2.0 / mag, 1e30)
+                    # rsqrt instead of sqrt + divide (VPU-bound):
+                    # mag = mag_sq * inv, 1/mag = inv
+                    inv = jax.lax.rsqrt(mag_sq)
+                    mag = mag_sq * inv
+                    r = jnp.minimum(mu * (mag - safe) * 0.5 * inv, 1e30)
                     wr = w * r
                     acc = [a - wr * dd for a, dd in zip(acc, deltas)]
                     wacc = wacc + w
@@ -505,8 +517,10 @@ def build_dense_apply_nd(n_dense: int, S: int, D: int, fdt, br: int = 256,
                 zero = mag_sq == 0
                 deltas[0] = jnp.where(zero, jnp.float32(1e-9), deltas[0])
                 mag_sq = jnp.where(zero, jnp.float32(1e-18), mag_sq)
-                mag = jnp.sqrt(mag_sq)
-                r = jnp.minimum(mu * (mag - safe) / 2.0 / mag,
+                # rsqrt instead of sqrt + divide (see interpret path)
+                inv = jax.lax.rsqrt(mag_sq)
+                mag = mag_sq * inv
+                r = jnp.minimum(mu * (mag - safe) * 0.5 * inv,
                                 jnp.float32(1e30))
                 wr = w * r
                 acc = [a - wr * dd for a, dd in zip(acc, deltas)]

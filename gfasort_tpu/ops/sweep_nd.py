@@ -131,8 +131,10 @@ def make_nd_sweep_fn(offs_p, S, D, params, zetas, fdt, active_frac,
                 zero = mag_sq == 0
                 deltas[0] = jnp.where(zero, fdt(1e-9), deltas[0])
                 mag_sq = jnp.where(zero, fdt(1e-18), mag_sq)
-                mag = jnp.sqrt(mag_sq)
-                r = jnp.minimum(mu * (mag - safe) / 2.0 / mag, 1e30)
+                # rsqrt instead of sqrt + divide (ops/sweep_dense.py)
+                inv = jax.lax.rsqrt(mag_sq)
+                mag = mag_sq * inv
+                r = jnp.minimum(mu * (mag - safe) * 0.5 * inv, 1e30)
                 wr = w * r
                 return [-wr * dd for dd in deltas], w   # I receive -upd
 

@@ -252,7 +252,10 @@ def build_sharded_sweep(
                     dx = xs - xs_o
                     dx = jnp.where(dx == 0, fdt(1e-9), dx)
                     mag = jnp.abs(dx)
-                    r_x = (mu * (mag - safe) / 2.0 / mag) * dx
+                    # dx/|dx| = sign: one divide per half (see
+                    # ops/sweep.py / ops/sweep_dense.py)
+                    half_sgn = jnp.where(dx >= 0, fdt(0.5), fdt(-0.5))
+                    r_x = mu * (mag - safe) * half_sgn
                     return -w * r_x, w
 
                 d1, w1 = half(-k, sidx == ki, jnp.roll(sidx, -k) == ~ki)
