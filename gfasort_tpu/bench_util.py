@@ -322,6 +322,7 @@ def sweep_quality_vs_oracle(
 def bench_sweep_nd(
     pidx: PathIndex, dims: int = 2, rounds: int = 48, repeats: int = 3,
     consensus_every: int = 8, rotate: int = 8,
+    active_frac: Optional[float] = None,
 ) -> dict:
     """Time the nD layout sweep engine (BASELINE configs 3-4; reference
     hot loop src/sgd.rs:988-1156)."""
@@ -333,7 +334,8 @@ def bench_sweep_nd(
     lp = LayoutSGDParams().derive_from_graph(pidx, dims)
     S = pidx.total_steps
     N = pidx.num_nodes
-    frac = float(np.clip(N / max(S, 1), 1.0 / 4.0, 1.0))
+    frac = (active_frac if active_frac is not None
+            else float(np.clip(N / max(S, 1), 1.0 / 4.0, 1.0)))
     ups = max(1, int(S * frac))
     lp = replace(lp, iter_max=rounds - 1, min_term_updates=ups,
                  dtype="float32", pow_mode="fast")
