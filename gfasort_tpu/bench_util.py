@@ -184,9 +184,12 @@ def bench_sweep_1d(
     }
 
 
-def bench_native_1d(pidx: PathIndex, n_updates: int = 2_000_000) -> Optional[dict]:
+def bench_native_1d(pidx: PathIndex, n_updates: int = 2_000_000,
+                    repeats: int = 3) -> Optional[dict]:
     """CPU baseline: the C++ sequential oracle inner loop (stands in
-    for the Rust reference at -t 1; same per-update semantics)."""
+    for the Rust reference at -t 1; same per-update semantics).  Best
+    of ``repeats`` passes: single-pass rates vary ~2x on the shared
+    2-core host, which made vs_baseline noisy across bench runs."""
     from .native import available, load, _p64, _pf64
     from .ops.fastpow import zeta_table
 
@@ -205,16 +208,19 @@ def bench_native_1d(pidx: PathIndex, n_updates: int = 2_000_000) -> Optional[dic
         params.space, params.space_max, params.space_quantization_step,
         params.theta,
     )
-    t0 = time.perf_counter()
-    lib.sgd1d_bench(
-        pidx.total_steps, _p64(sp), _p64(sr), _p64(spos), _p64(snode),
-        _p64(pf), _p64(pc),
-        _pf64(x), n_updates, float(params.eta_max), params.theta,
-        params.space, params.space_max, params.space_quantization_step,
-        42, _pf64(zetas), len(zetas),
-    )
-    dt = time.perf_counter() - t0
-    return {"seconds": dt, "updates": n_updates, "updates_per_s": n_updates / dt}
+    best = float("inf")
+    for _ in range(max(1, repeats)):
+        t0 = time.perf_counter()
+        lib.sgd1d_bench(
+            pidx.total_steps, _p64(sp), _p64(sr), _p64(spos), _p64(snode),
+            _p64(pf), _p64(pc),
+            _pf64(x), n_updates, float(params.eta_max), params.theta,
+            params.space, params.space_max, params.space_quantization_step,
+            42, _pf64(zetas), len(zetas),
+        )
+        best = min(best, time.perf_counter() - t0)
+    return {"seconds": best, "updates": n_updates,
+            "updates_per_s": n_updates / best, "repeats": repeats}
 
 
 def bench_native_1d_mt(
