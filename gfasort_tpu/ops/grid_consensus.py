@@ -332,7 +332,19 @@ def make_grid_fns(
     # arrive in buffer coordinates (plan_grid adds OFF)
     OFF = seg_tiles * D
     n_pad = OFF + N + W + seg_tiles * D + D
-    HIGH = jax.lax.Precision.HIGHEST
+    # Dot precision: HIGHEST (full f32).  Measured (r3,
+    # scratch/gc_tile_probe.py at T=256/S=4M): dropping to HIGH saves
+    # only ~2% (the dots are not the consensus bottleneck — the
+    # intermediates' HBM traffic and per-segment dynamic slices are)
+    # and costs exactness (relerr 2.0e-5 vs 1.5e-7 against the f64
+    # scatter-mean).  GFASORT_GC_PRECISION overrides for experiments.
+    import os as _os
+
+    HIGH = {
+        "high": jax.lax.Precision.HIGH,
+        "highest": jax.lax.Precision.HIGHEST,
+        "default": jax.lax.Precision.DEFAULT,
+    }[_os.environ.get("GFASORT_GC_PRECISION", "highest")]
 
     def _one_hots(lidx_a):
         # pad [g, T] -> [g_pad, T] with -1 (dead): pad tiles select
