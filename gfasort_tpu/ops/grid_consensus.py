@@ -380,34 +380,31 @@ def make_grid_fns(
             preferred_element_type=jnp.float32,
             precision=HIGH,
         )                                         # [g_pad, R, Wh, LANE]
-        wsum = wsum.transpose(1, 0, 2, 3).reshape(R, g_pad, W)
+        # segment-major view: the scan consumes whole [SL, R, W] blocks
+        # as a NATIVE leading-axis input — a bitcast of the dot output,
+        # no transpose and no per-segment dynamic_slice of the window
+        # buffer (each data-dependent dynamic op costs ~7 us on TPU
+        # regardless of loop structure; scratch/gc_tile_probe.py)
+        w_sm = wsum.reshape(n_seg, seg_tiles, R, W)
 
         # window -> node: overlap-add at fixed stride (dynamic anchors).
         # lax.scan over segments, NOT a Python loop: the unrolled form
         # emitted ~n_seg*m dynamic_slice/_update_slice pairs (~1,000+
         # HLO ops at S=4M), which dominated trace+compile time of every
-        # engine that embeds the consensus (VERDICT r2 weak #1).  Each
-        # scan step slices its fixed-size block out of the invariant
-        # window buffer by segment index — no stacked re-layout.
-        # Each dynamic_slice/_update_slice at a data-dependent offset
-        # costs ~7 us on TPU regardless of loop structure (measured in
-        # scratch/gc_tile_probe.py: consensus time tracks segment
-        # count, not dot FLOPs).  So per segment the m strided chunks
-        # are first combined into ONE contiguous [R, L + (m-1)D] run
-        # with STATIC-offset adds (fusible), then applied with a single
-        # dynamic slice+add+update — 3 dynamic ops per segment instead
-        # of 1 + 2m.
+        # engine that embeds the consensus (VERDICT r2 weak #1).  Per
+        # segment the m strided chunks are first combined into ONE
+        # contiguous [R, L + (m-1)D] run with STATIC-offset adds
+        # (fusible), then applied with a single dynamic
+        # slice+add+update — 2 dynamic ops per segment.
         LC = L + (m - 1) * D
 
         def fwd_seg(ssum, seg_in):
-            off, k = seg_in  # scalars: anchor (buffer coords), seg idx
-            w = lax.dynamic_slice(
-                wsum, (jnp.int32(0), k * seg_tiles, jnp.int32(0)),
-                (R, seg_tiles, W),
-            )
+            off, w = seg_in  # off scalar; w [seg_tiles, R, W]
             comb = jnp.zeros((R, LC), jnp.float32)
             for r in range(m):
-                chunk = w[:, :, r * D : (r + 1) * D].reshape(R, L)
+                chunk = w[:, :, r * D : (r + 1) * D].transpose(
+                    1, 0, 2
+                ).reshape(R, L)
                 comb = comb.at[:, r * D : r * D + L].add(chunk)
             o = off.astype(jnp.int32)
             seg = lax.dynamic_slice(ssum, (jnp.int32(0), o), (R, LC))
@@ -420,10 +417,7 @@ def make_grid_fns(
         # so its varying-manual-axes match the scanned operands when the
         # fns run inside shard_map (axis-name-agnostic; scan-vma rule)
         ssum = jnp.zeros((R, n_pad), jnp.float32) + 0.0 * xs_pad[:, :1]
-        ssum, _ = lax.scan(
-            fwd_seg, ssum,
-            (anchors_a, jnp.arange(n_seg, dtype=jnp.int32)),
-        )
+        ssum, _ = lax.scan(fwd_seg, ssum, (anchors_a, w_sm))
         # exact element fallback for out-of-band steps (sentinel points
         # at a padded zero slot / node slot N)
         ssum = ssum.at[:, OFF + oob_nodes_a].add(xs_pad[:, oob_steps_a])
@@ -442,14 +436,18 @@ def make_grid_fns(
 
         sel_hi, oh_lo = _one_hots(lidx_a)
 
-        # node -> window fetch: scan over segments writing fixed-size
-        # blocks into the carried window buffer (see fwd_seg comment)
-        # one dynamic fetch of the segment's whole [R, L + (m-1)D] node
-        # run; the m window rows are STATIC slices of it (see fwd_seg)
+        # node -> window fetch: scan over segments, windows stacked as
+        # scan OUTPUTS in segment-major layout ([n_seg, SL, R, W] is a
+        # bitcast of the [g_pad, R, Wh, LANE] shape the dot consumes
+        # with its batch on dim 0) — ONE dynamic fetch of the whole
+        # [R, L + (m-1)D] node run per segment, no carry update (see
+        # fwd_seg comment).  The 0 * xs2 term pins the scan outputs'
+        # varying-manual-axes to the per-shard axis (anchors are
+        # varying; x_ext may be a psum output, which is invariant).
         LC = L + (m - 1) * D
+        vma_pin = 0.0 * xs2[:1, :1].astype(jnp.float32).reshape(1, 1, 1)
 
-        def bwd_seg(xwin, seg_in):
-            off, k = seg_in
+        def bwd_seg(_, off):
             ext = lax.dynamic_slice(
                 x_ext, (jnp.int32(0), off.astype(jnp.int32)), (R, LC)
             )
@@ -457,25 +455,14 @@ def make_grid_fns(
                 ext[:, r * D : r * D + L].reshape(R, seg_tiles, D)
                 for r in range(m)
             ]
-            xwin = lax.dynamic_update_slice(
-                xwin, jnp.concatenate(parts, axis=2),
-                (jnp.int32(0), k * seg_tiles, jnp.int32(0)),
-            )
-            return xwin, None
+            blk = jnp.concatenate(parts, axis=2)      # [R, SL, W]
+            return None, blk.transpose(1, 0, 2) + vma_pin
 
-        # carry vma must match the scanned anchors (per-shard varying);
-        # xs2 is the only operand guaranteed varying here (x_node may be
-        # a psum output, which is axis-invariant)
-        xwin = (jnp.zeros((R, g_pad, W), jnp.float32)
-                + 0.0 * xs2[:, :1, None].astype(jnp.float32))
-        xwin, _ = lax.scan(
-            bwd_seg, xwin,
-            (anchors_a, jnp.arange(n_seg, dtype=jnp.int32)),
-        )
+        _, xw_sm = lax.scan(bwd_seg, None, anchors_a)  # [n_seg, SL, R, W]
 
         e = lax.dot_general(
-            xwin.reshape(R, g_pad, Wh, _LANE), oh_lo,
-            dimension_numbers=(((3,), (2,)), ((1,), (0,))),
+            xw_sm.reshape(g_pad, R, Wh, _LANE), oh_lo,
+            dimension_numbers=(((3,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
             precision=HIGH,
         )                                         # [g_pad, R, Wh, T]
