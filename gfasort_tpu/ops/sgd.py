@@ -279,8 +279,11 @@ def build_1d_runner(
             dx = x[i] - x[j]
             dx = jnp.where(dx == 0, fdt(1e-9), dx)
             mag = jnp.abs(dx)
+            # (delta/|dx|)*dx == delta*sign(dx): one divide per update
+            # (mirrors the sweep engines, ops/sweep_dense.py)
+            sgn = jnp.where(dx >= 0, fdt(1.0), fdt(-1.0))
             delta = mu * (mag - safe_dist) / 2.0
-            r_x = jnp.where(valid_r, (delta / mag) * dx, fdt(0))
+            r_x = jnp.where(valid_r, delta * sgn, fdt(0))
             # Collision-aware merge: within a round, a node hit by k
             # pairs receives the MEAN of its k half-corrections, not the
             # sum — summing overshoots by k and diverges on small graphs
@@ -414,9 +417,11 @@ def path_linear_sgd_layout_batched(
                 jnp.where(zero, fdt(1e-9), deltas[:, 0])
             )
             mag_sq = jnp.where(zero, fdt(1e-18), mag_sq)
-            mag = jnp.sqrt(mag_sq)
+            # rsqrt instead of sqrt + divide (ops/sweep_dense.py)
+            inv = jax.lax.rsqrt(mag_sq)
+            mag = mag_sq * inv
             delta = mu * (mag - safe_dist) / 2.0
-            r_scale = jnp.where(valid_r, delta / mag, fdt(0))
+            r_scale = jnp.where(valid_r, delta * inv, fdt(0))
             upd = r_scale[:, None] * deltas  # [B, D]
             # Collision-aware merge (see 1D round_body): mean per end row.
             one = valid_r.astype(state.dtype)
