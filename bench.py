@@ -55,7 +55,15 @@ FULL = os.environ.get("BENCH_FULL", "0") == "1"
 # Spearman 0.9999989 vs 0.9999985) — r3 measurement; section 3
 # certifies the exact timed config in-run.
 QUALITY_CFG = dict(consensus_every=8, per_octave=2, active_frac=1.0, rotate=8)
-THROUGHPUT_CFG = dict(consensus_every=48, per_octave=2, active_frac=1.0, rotate=8)
+# consensus_every=96 (was 48): the R=1 grid consensus (~24.5 ms/call)
+# amortizes over twice the sweeps — measured 1,392 -> 1,495 M/s at the
+# bench shape with IDENTICAL 100k certification (rank-MAE 3.20e-4,
+# Spearman 0.9999989 for both; scratch/ce_rotate_probe.py).  ce=192
+# gains nothing under the 96-round protocol (the runner pads to a full
+# period).  rotate=16 would cut bucket passes ~17% more but its phase
+# bucket sets hit a Mosaic compile bug (probe docstring); rotate=8
+# compiles everywhere.
+THROUGHPUT_CFG = dict(consensus_every=96, per_octave=2, active_frac=1.0, rotate=8)
 
 # certification thresholds (calibrated in round 1: 100k-node synthetic
 # rank-MAE ~1e-4 of N at the headline config, spearman >= 0.9999;
@@ -138,7 +146,8 @@ def main() -> int:
     tpu_t = bench_sweep_1d(
         pidx, rounds=ROUNDS, repeats=3 if FULL else 2, **THROUGHPUT_CFG
     )
-    err(f"[bench] sweep throughput mode (ce=48): {tpu_t}")
+    err(f"[bench] sweep throughput mode "
+        f"(ce={THROUGHPUT_CFG['consensus_every']}): {tpu_t}")
     result["value"] = round(tpu_t["updates_per_s"], 1)
     result["warmup_s"] = round(tpu_t["warmup_s"], 1)
     if rate_1t:
@@ -194,10 +203,11 @@ def main() -> int:
     result["quality_mode_value"] = round(tpu_q["updates_per_s"], 1)
     emit()
 
-    # ---- 6-7. nD layout rates (BASELINE configs 3-4).  ce=16: the
-    # consensus (45 ms/call on 2D rows) amortizes over 2x more sweeps
-    # at equal-or-better certified stress (measured ce=8 ratio 1.066,
-    # ce=16 1.065, ce=24 1.034 vs the oracle).  active_frac=1.0: same
+    # ---- 6-7. nD layout rates (BASELINE configs 3-4).  Rarer
+    # consensus has certified flat-to-better at every probed period
+    # (ce=8 ratio 1.066, ce=16 1.065, ce=24 1.034 at the derived frac;
+    # 0.908/0.886/0.898 at ce=16/32/48 with frac=1.0): see the ND_CE
+    # comment below.  active_frac=1.0: same
     # masked-SIMD sweep cost at any density, 4x the counted updates,
     # and the certified stress BEATS the oracle AT THIS SHAPE (ratio
     # 0.908 at frac=1.0 vs 1.065 at the 1/4 floor; section 8 certifies
@@ -206,7 +216,15 @@ def main() -> int:
     # on the small many-paths DRB1 fixture frac=1.0 oversmooths
     # (stress 0.43 vs 0.29 at the derived floor), so the CLI keeps the
     # derived frac + ce=8 for real graphs ----
-    ND_CE = 16
+    # ce=48 (was 16): rarer consensus keeps CERTIFYING BETTER (oracle
+    # stress ratio 0.898 at ce=48 vs 0.908 at ce=16 on the 20k cert
+    # workload) and the R=4 ~35 ms consensus amortizes over 3x the
+    # sweeps: 2D 478 -> 587 M/s, 3D 360 -> 445 M/s at the bench shape
+    # (scratch/nd_ce_probe.py).  ce must divide the ROUNDS//2 = 48
+    # timed sweeps or the runner pads the schedule to a full period
+    # and the displayed rate undercounts (ce=32 measured 424 M/s
+    # displayed vs ~565 true for exactly this reason).
+    ND_CE = 48
     ND_FRAC = 1.0
     nd = bench_sweep_nd(pidx, dims=2, rounds=ROUNDS // 2,
                         repeats=2 if FULL else 1, consensus_every=ND_CE,
