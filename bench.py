@@ -60,10 +60,11 @@ QUALITY_CFG = dict(consensus_every=8, per_octave=2, active_frac=1.0, rotate=8)
 # bench shape with IDENTICAL 100k certification (rank-MAE 3.20e-4,
 # Spearman 0.9999989 for both; scratch/ce_rotate_probe.py).  ce=192
 # gains nothing under the 96-round protocol (the runner pads to a full
-# period).  rotate=16 would cut bucket passes ~17% more but its phase
-# bucket sets hit a Mosaic compile bug (probe docstring); rotate=8
-# compiles everywhere.
-THROUGHPUT_CFG = dict(consensus_every=96, per_octave=2, active_frac=1.0, rotate=8)
+# period).  rotate=12 (11 buckets/phase vs 12): 1,495 -> 1,561 M/s and
+# the 100k certification IMPROVES (rank-MAE 2.76e-4, Spearman
+# 0.9999992).  rotate=16 would cut another bucket but its phase sets
+# hit a Mosaic compile bug (probe docstring); 12 compiles everywhere.
+THROUGHPUT_CFG = dict(consensus_every=96, per_octave=2, active_frac=1.0, rotate=12)
 
 # certification thresholds (calibrated in round 1: 100k-node synthetic
 # rank-MAE ~1e-4 of N at the headline config, spearman >= 0.9999;
@@ -224,11 +225,15 @@ def main() -> int:
     # timed sweeps or the runner pads the schedule to a full period
     # and the displayed rate undercounts (ce=32 measured 424 M/s
     # displayed vs ~565 true for exactly this reason).
+    # rotate=12 (one fewer bucket/phase): 2D 587 -> 642, 3D 445 -> 512
+    # M/s, and the certified stress improves AGAIN (ratio 0.879);
+    # ce=48 stays a multiple of rotate.
     ND_CE = 48
+    ND_ROT = 12
     ND_FRAC = 1.0
     nd = bench_sweep_nd(pidx, dims=2, rounds=ROUNDS // 2,
                         repeats=2 if FULL else 1, consensus_every=ND_CE,
-                        active_frac=ND_FRAC)
+                        rotate=ND_ROT, active_frac=ND_FRAC)
     err(f"[bench] 2D layout sweep: {nd}")
     result["nd_layout"] = {
         "value": round(nd["updates_per_s"], 1),
@@ -241,7 +246,7 @@ def main() -> int:
 
     nd3 = bench_sweep_nd(pidx, dims=3, rounds=ROUNDS // 2,
                          repeats=2 if FULL else 1, consensus_every=ND_CE,
-                         active_frac=ND_FRAC)
+                         rotate=ND_ROT, active_frac=ND_FRAC)
     err(f"[bench] 3D layout sweep: {nd3}")
     result["nd_layout_3d"] = {
         "value": round(nd3["updates_per_s"], 1),
@@ -254,8 +259,8 @@ def main() -> int:
     # ---- 8. layout stress certification ----
     ln = int(os.environ.get("BENCH_CERT_LAYOUT_NODES", 20_000))
     qn = layout_quality_vs_oracle(
-        n_nodes=ln, steps_per_path=ln, consensus_every=ND_CE, rotate=8,
-        active_frac=ND_FRAC,
+        n_nodes=ln, steps_per_path=ln, consensus_every=ND_CE,
+        rotate=ND_ROT, active_frac=ND_FRAC,
     )
     err(f"[bench] layout certification (vs oracle): {qn}")
     layout_ok = bool(
