@@ -45,6 +45,7 @@ from ..index import PathIndex
 from ..params import PathSGDParams
 from .fastpow import zeta_table
 from .schedule import eta_schedule
+from .sweep_common import auto_rotate
 
 __all__ = ["offset_set", "build_sweep_runner", "path_linear_sgd_sweep", "path_sgd_sort_sweep"]
 
@@ -149,9 +150,7 @@ def build_sweep_runner(
     # active step still proposes exactly one partner).
     n_dense = int((offs <= 8).sum())
     if rotate == "auto":
-        # target ~8 large buckets per sweep (measured knee: fewer stops
-        # helping, more costs quality for no speed)
-        rotate = int(np.clip(round((K - n_dense) / 7.5), 1, 8))
+        rotate = auto_rotate(K, n_dense)  # sweep_common: measured default
     rotate = int(max(1, rotate))
     if rotate > 1 and (K - n_dense) < 2 * rotate:
         rotate = 1  # too few large buckets to be worth striding

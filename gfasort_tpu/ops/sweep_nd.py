@@ -27,6 +27,7 @@ from ..params import LayoutSGDParams
 from .fastpow import zeta_table
 from .schedule import eta_schedule
 from .sweep import offset_set
+from .sweep_common import auto_rotate
 
 __all__ = [
     "build_sweep_nd_runner",
@@ -185,7 +186,7 @@ def build_sweep_nd_runner(
     # ~(K/K_phase)x with the aggregate jump distribution unchanged
     n_dense = int((offs <= 8).sum())
     if rotate == "auto":
-        rotate = int(np.clip(round((K - n_dense) / 7.5), 1, 8))
+        rotate = auto_rotate(K, n_dense)
     rotate = int(max(1, rotate))
     if rotate > 1 and (K - n_dense) < 2 * rotate:
         rotate = 1

@@ -30,6 +30,7 @@ from ..params import LayoutSGDParams
 from ..ops.fastpow import zeta_table
 from ..ops.schedule import eta_schedule
 from ..ops.sweep import offset_set
+from ..ops.sweep_common import auto_rotate
 from ..ops.sweep_nd import make_nd_sweep_fn
 from .mesh import default_mesh
 from .sweep_shard import _shard_arrays, _shard_grid_plans
@@ -99,7 +100,7 @@ def build_sharded_sweep_nd(
     # bucket rotation (see ops/sweep.py)
     n_dense = int((offs <= 8).sum())
     if rotate == "auto":
-        rotate = int(np.clip(round((K - n_dense) / 7.5), 1, 8))
+        rotate = auto_rotate(K, n_dense)
     rotate = int(max(1, rotate))
     if rotate > 1 and (K - n_dense) < 2 * rotate:
         rotate = 1

@@ -24,6 +24,7 @@ from ..index import PathIndex
 from ..params import PathSGDParams
 from ..ops.fastpow import zeta_table
 from ..ops.schedule import eta_schedule
+from ..ops.sweep_common import auto_rotate
 from ..ops.sweep import offset_set
 from .mesh import default_mesh, partition_paths
 
@@ -153,7 +154,7 @@ def build_sharded_sweep(
     # large offsets phase-strided per sweep
     n_dense = int((offs <= 8).sum())
     if rotate == "auto":
-        rotate = int(np.clip(round((K - n_dense) / 7.5), 1, 8))
+        rotate = auto_rotate(K, n_dense)
     rotate = int(max(1, rotate))
     if rotate > 1 and (K - n_dense) < 2 * rotate:
         rotate = 1
