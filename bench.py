@@ -12,21 +12,28 @@ most complete parsable artifact:
   2. sweep 1D throughput mode — THE HEADLINE (first JSON emitted here)
   3. in-run certification of the timed throughput config vs the
      bit-exact C++ oracle (rank-MAE / Spearman)
-  4. in-run certification of the CLI-DEFAULT sweep config (the one
-     `gfasort` auto-routes large graphs to: derived active_frac, ce=8,
-     per_octave=4, rotate=auto) — VERDICT r2 task 3
+  4. CLI-DEFAULT (zero-kwarg shape-aware auto-config, VERDICT r3
+     task 1): certification at the 100k cert shape AND its rate at the
+     bench shape (the policy selects the certified throughput settings
+     for low-redundancy large workloads)
   5. sweep 1D quality mode (ce=8) rate
   6. 2D layout sweep rate  7. 3D layout sweep rate (BASELINE config 4)
-  8. layout stress certification vs the oracle
+  8. layout stress certification vs the oracle — 2D AND 3D (VERDICT
+     r3 task 3; reference prints stress for every layout run,
+     /root/reference/src/bin/gfasort.rs:270-273)
+  9. roofline: modeled HBM-bytes + VPU-ops per update vs v5e peaks,
+     plus the exact applied-updates fraction (VERDICT r3 task 2)
+ 10. poor-locality bracket: forced gather consensus at the bench
+     shape + shuffled-id workload through the auto policy (task 4)
 
 Each timed section reports `warmup_s` (trace + compile + first run)
 separately from the steady-state rate, so the artifact distinguishes
 compile cost from device time (VERDICT r2 weak 1-2).
 
-Set BENCH_FULL=1 for the round-2 protocol (3 repeats everywhere);
-default repeats are 2 for the headline and 1 elsewhere to fit the
-driver budget.  Exits nonzero only on egregious quality regression
-(spearman < 0.99).
+Set BENCH_FULL=1 for the round-2 protocol (3 repeats everywhere) plus
+the full-schedule (reference iter_max=100) certification of the
+CLI-default config (VERDICT r3 task 8).  Exits nonzero only on
+egregious quality regression (spearman < 0.99).
 """
 
 import json
@@ -66,6 +73,19 @@ QUALITY_CFG = dict(consensus_every=8, per_octave=2, active_frac=1.0, rotate=8)
 # hit a Mosaic compile bug (probe docstring); 12 compiles everywhere.
 THROUGHPUT_CFG = dict(consensus_every=96, per_octave=2, active_frac=1.0, rotate=12)
 
+
+def _fit_ce(rounds: int, ce: int) -> int:
+    """Largest ce' <= ce that divides ``rounds``.  The runner pads the
+    schedule to a whole consensus period, so a non-divisor period makes
+    the displayed rate silently undercount (ce=192 under the 96-round
+    protocol displayed 825 M/s vs a true ~1.5B; ce=32 under 48 rounds
+    424 vs ~565 — ADVICE r3).  Configured periods assume the default
+    BENCH_ROUNDS=96; any override re-derives them here."""
+    ce = max(1, min(ce, rounds))
+    while rounds % ce:
+        ce -= 1
+    return ce
+
 # certification thresholds (calibrated in round 1: 100k-node synthetic
 # rank-MAE ~1e-4 of N at the headline config, spearman >= 0.9999;
 # thresholds leave ~10x headroom)
@@ -98,9 +118,12 @@ def main() -> int:
         "vs_baseline_mt": None,
         "quality_mode_value": None,
         "quality": None,       # throughput-cfg certification
-        "cli_default": None,   # CLI-default-cfg certification
-        "nd_layout": None,     # 2D
-        "nd_layout_3d": None,
+        "cli_default": None,   # zero-kwarg auto-config cert + rate
+        "nd_layout": None,     # 2D (incl. stress cert)
+        "nd_layout_3d": None,  # 3D (incl. stress cert)
+        "roofline": None,
+        "fallback": None,
+        "quality_full_schedule": None,  # set under BENCH_FULL=1
         "oracle_1t": None,
         "oracle_mt": None,
         "elapsed_s": None,
@@ -114,6 +137,14 @@ def main() -> int:
     pidx = synthetic_path_index(N_NODES, N_PATHS, STEPS, seed=0)
     err(f"[bench] workload: {pidx.num_nodes} nodes, {pidx.total_steps} steps, "
         f"{pidx.num_paths} paths; rounds={ROUNDS} full={FULL}")
+
+    # re-fit consensus periods to the (possibly overridden) protocol
+    for cfg, nr in ((THROUGHPUT_CFG, ROUNDS), (QUALITY_CFG, ROUNDS)):
+        fitted = _fit_ce(nr, cfg["consensus_every"])
+        if fitted != cfg["consensus_every"]:
+            err(f"[bench] WARNING: consensus_every {cfg['consensus_every']} "
+                f"does not divide rounds={nr}; using {fitted}")
+            cfg["consensus_every"] = fitted
 
     # ---- 1. CPU oracle baselines (no device, fast) ----
     cpu = bench_native_1d(pidx, n_updates=2_000_000)
@@ -177,19 +208,30 @@ def main() -> int:
         err("[bench] WARNING: 1D throughput-cfg certification FAILED")
     emit()
 
-    # ---- 4. certification of the CLI-default config (VERDICT r2 #3):
-    # no engine kwargs = path_linear_sgd_sweep defaults, exactly what
-    # pipeline.py auto-routes >200k-node graphs to ----
+    # ---- 4. the CLI default (zero kwargs = shape-aware auto-config,
+    # VERDICT r3 task 1): certify it at the cert shape, then time it at
+    # the bench shape.  The policy resolves to the throughput settings
+    # at both shapes (S/N=4 low redundancy, large S), so the rate run
+    # reuses the headline's compiled program. ----
     q_cli = sweep_quality_vs_oracle(n_nodes=cn, steps_per_path=cn)
-    err(f"[bench] 1D certification (CLI-default cfg vs oracle): {q_cli}")
+    err(f"[bench] 1D certification (CLI-default auto-config): {q_cli}")
+    cli_rate = bench_sweep_1d(pidx, rounds=ROUNDS, repeats=1)
+    err(f"[bench] CLI-default rate at bench shape: {cli_rate}")
     cli_ok = bool(
         q_cli is not None
         and q_cli["rank_mae_frac"] <= MAE_FRAC_MAX
         and q_cli["spearman"] >= SPEARMAN_MIN
+        and cli_rate["final_finite"]
     )
     result["cli_default"] = {
         "rank_mae_frac": round(q_cli["rank_mae_frac"], 6) if q_cli else None,
         "spearman": round(q_cli["spearman"], 6) if q_cli else None,
+        "rate": round(cli_rate["updates_per_s"], 1),
+        "config": {
+            "active_frac": cli_rate["active_frac"],
+            "consensus_every": cli_rate["consensus_every_eff"],
+            "rotate": cli_rate["rotate_eff"],
+        },
         "ok": cli_ok,
     }
     if not cli_ok:
@@ -228,9 +270,12 @@ def main() -> int:
     # rotate=12 (one fewer bucket/phase): 2D 587 -> 642, 3D 445 -> 512
     # M/s, and the certified stress improves AGAIN (ratio 0.879);
     # ce=48 stays a multiple of rotate.
-    ND_CE = 48
+    ND_CE = _fit_ce(ROUNDS // 2, 48)
     ND_ROT = 12
     ND_FRAC = 1.0
+    if ND_CE != 48:
+        err(f"[bench] WARNING: nd consensus_every 48 does not divide "
+            f"rounds//2={ROUNDS // 2}; using {ND_CE}")
     nd = bench_sweep_nd(pidx, dims=2, rounds=ROUNDS // 2,
                         repeats=2 if FULL else 1, consensus_every=ND_CE,
                         rotate=ND_ROT, active_frac=ND_FRAC)
@@ -256,13 +301,15 @@ def main() -> int:
     }
     emit()
 
-    # ---- 8. layout stress certification ----
+    # ---- 8. layout stress certification, 2D AND 3D (VERDICT r3
+    # task 3: the reference prints sampled stress for every layout run
+    # regardless of D, src/bin/gfasort.rs:270-273) ----
     ln = int(os.environ.get("BENCH_CERT_LAYOUT_NODES", 20_000))
     qn = layout_quality_vs_oracle(
         n_nodes=ln, steps_per_path=ln, consensus_every=ND_CE,
         rotate=ND_ROT, active_frac=ND_FRAC,
     )
-    err(f"[bench] layout certification (vs oracle): {qn}")
+    err(f"[bench] 2D layout certification (vs oracle): {qn}")
     layout_ok = bool(
         qn is not None
         and nd["final_finite"]
@@ -271,10 +318,90 @@ def main() -> int:
     result["nd_layout"].update(
         stress=round(qn["stress"], 5) if qn else None,
         oracle_stress=round(qn["oracle_stress"], 5) if qn else None,
+        ratio=round(qn["ratio"], 4) if qn else None,
         ok=layout_ok,
     )
     if not layout_ok:
-        err("[bench] WARNING: layout certification FAILED")
+        err("[bench] WARNING: 2D layout certification FAILED")
+    emit()
+
+    qn3 = layout_quality_vs_oracle(
+        n_nodes=ln, steps_per_path=ln, dims=3, consensus_every=ND_CE,
+        rotate=ND_ROT, active_frac=ND_FRAC,
+    )
+    err(f"[bench] 3D layout certification (vs oracle): {qn3}")
+    layout3_ok = bool(
+        qn3 is not None
+        and nd3["final_finite"]
+        and qn3["ratio"] <= STRESS_RATIO_MAX
+    )
+    result["nd_layout_3d"].update(
+        stress=round(qn3["stress"], 5) if qn3 else None,
+        oracle_stress=round(qn3["oracle_stress"], 5) if qn3 else None,
+        ratio=round(qn3["ratio"], 4) if qn3 else None,
+        ok=layout3_ok,
+    )
+    if not layout3_ok:
+        err("[bench] WARNING: 3D layout certification FAILED")
+    emit()
+
+    # ---- 9. roofline (VERDICT r3 task 2): exact applied-updates
+    # count (standalone sampler replay; validity never depends on xs)
+    # + modeled bytes/ops per update vs v5e peaks ----
+    from gfasort_tpu.bench_util import measure_applied_frac, roofline_model
+
+    af = measure_applied_frac(pidx, rounds=24, **THROUGHPUT_CFG)
+    err(f"[bench] applied-updates fraction (throughput cfg): {af}")
+    result["roofline"] = roofline_model(
+        rate=tpu_t["updates_per_s"],
+        info=tpu_t,
+        applied_frac=af["applied_frac"],
+    )
+    err(f"[bench] roofline: {result['roofline']}")
+    emit()
+
+    # ---- 10. poor-locality bracket (VERDICT r3 task 4): what happens
+    # when grid-consensus band locality fails ----
+    fb = {}
+    os.environ["GFASORT_CONSENSUS"] = "gather"
+    try:
+        g_r = bench_sweep_1d(pidx, rounds=ROUNDS, repeats=1,
+                             **THROUGHPUT_CFG)
+    finally:
+        os.environ.pop("GFASORT_CONSENSUS", None)
+    err(f"[bench] forced-gather consensus rate: {g_r}")
+    fb["gather_rate"] = round(g_r["updates_per_s"], 1)
+    fb["gather_vs_grid"] = round(
+        g_r["updates_per_s"] / tpu_t["updates_per_s"], 3
+    )
+
+    from gfasort_tpu.bench_util import shuffled_path_index
+
+    sh_pidx = shuffled_path_index(N_NODES, N_PATHS, STEPS, seed=0)
+    s_r = bench_sweep_1d(sh_pidx, rounds=ROUNDS, repeats=1,
+                         **THROUGHPUT_CFG)
+    err(f"[bench] shuffled-id workload (auto consensus policy): {s_r}")
+    fb["shuffled_rate"] = round(s_r["updates_per_s"], 1)
+    fb["auto_selected"] = s_r["consensus"]
+    fb["shuffled_coverage"] = s_r["consensus_coverage"]
+    result["fallback"] = fb
+    emit()
+
+    # ---- 11. (BENCH_FULL) full-schedule certification of the CLI
+    # default at the reference's iter_max=100 (VERDICT r3 task 8;
+    # contract: src/sgd.rs:217) ----
+    if FULL:
+        qf = sweep_quality_vs_oracle(
+            n_nodes=cn, steps_per_path=cn, iter_max=100
+        )
+        err(f"[bench] full-schedule (iter_max=100) certification: {qf}")
+        result["quality_full_schedule"] = {
+            "rank_mae_frac": round(qf["rank_mae_frac"], 6) if qf else None,
+            "spearman": round(qf["spearman"], 7) if qf else None,
+            "iter_max": 100,
+            "ok": bool(qf and qf["rank_mae_frac"] <= MAE_FRAC_MAX
+                       and qf["spearman"] >= SPEARMAN_MIN),
+        }
 
     result["partial"] = False
     emit()

@@ -77,6 +77,7 @@ def main() -> int:
         sizes.append(d)
         d *= 2
     base_rate = None
+    base_order = None
     for nd in sizes:
         pidx = make_workload(nd)
         ups = max(1, int(pidx.total_steps * frac))
@@ -85,8 +86,12 @@ def main() -> int:
             min_term_updates=ups,
         )
         mesh = default_mesh(nd)
+        # consensus_every=None -> adaptive: base auto period scaled by
+        # SHARD length (sweep_shard.shard_consensus_every; VERDICT r3
+        # task 7) — strong-scaling rows show ce growing as shards shrink
         run, arrays, make_state, info = build_sharded_sweep(
-            pidx, p, mesh, per_octave=2, consensus_every=48, active_frac=frac, rotate=8
+            pidx, p, mesh, per_octave=2, consensus_every=None,
+            active_frac=frac, rotate=8,
         )
         key = jax.random.key(0)
         xs0, xn0 = make_state()
@@ -97,7 +102,7 @@ def main() -> int:
             xs0, xn0 = make_state()
             t0 = time.perf_counter()
             out = run(xs0, xn0, key, *arrays)
-            _ = np.asarray(out)
+            x_final = np.asarray(out)
             best = min(best, time.perf_counter() - t0)
         updates = info["n_sweeps"] * info["updates_per_sweep"]
         rate = updates / best
@@ -105,7 +110,7 @@ def main() -> int:
             base_rate = rate
         eff = rate / (base_rate * nd)
         psum_bytes = pidx.num_nodes * 4 * 2  # sum+count arrays
-        print(json.dumps({
+        row = {
             "devices": nd,
             "updates_per_s": round(rate, 1),
             "updates_per_s_per_device": round(rate / nd, 1),
@@ -114,8 +119,25 @@ def main() -> int:
             "weak": weak,
             "psum_bytes_per_consensus": psum_bytes,
             "shard_len": info["shard_len"],
+            "consensus_every": info["consensus_every"],
             "grid_consensus": info["grid_consensus"],
-        }))
+        }
+        if not weak:
+            # strong mode: same workload at every size — report rank
+            # agreement of this mesh's output against the 1-device run
+            # (the adaptive period changes the schedule per mesh size,
+            # so outputs are convergence-equivalent, not bit-equal)
+            order = np.argsort(x_final, kind="stable")
+            if base_order is None:
+                base_order = order
+                row["spearman_vs_1dev"] = 1.0
+            else:
+                from gfasort_tpu.bench_util import rank_quality
+
+                row["spearman_vs_1dev"] = round(
+                    rank_quality(order, base_order)["spearman"], 6
+                )
+        print(json.dumps(row), flush=True)
     if virtual:
         print(
             "# NOTE: virtual CPU devices share one host; wall-clock "

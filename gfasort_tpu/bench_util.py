@@ -72,6 +72,42 @@ def synthetic_path_index(
     )
 
 
+def shuffled_path_index(
+    n_nodes: int = 1_000_000,
+    n_paths: int = 16,
+    steps_per_path: int = 250_000,
+    seed: int = 0,
+) -> PathIndex:
+    """Adversarial-locality variant of :func:`synthetic_path_index`:
+    node identities are randomly permuted, so consecutive steps
+    reference scattered node ids and the grid consensus's band-locality
+    assumption fails (coverage collapses; ops/sweep.select_consensus
+    then auto-falls back to the gather-sum consensus).  Path structure,
+    distances and ranks are unchanged — only the step->node map is
+    scrambled."""
+    pidx = synthetic_path_index(n_nodes, n_paths, steps_per_path, seed=seed)
+    rng = np.random.default_rng(seed + 1)
+    perm = rng.permutation(n_nodes)  # new node index of old index i
+    new_node_idx = perm[pidx.step_node_idx]
+    new_node_len = np.empty_like(pidx.node_len)
+    new_node_len[perm] = pidx.node_len
+    new_handle = ((new_node_idx + 1) << 1) | (pidx.step_handle & 1)
+    return PathIndex(
+        step_handle=new_handle,
+        step_pos=pidx.step_pos,
+        step_path=pidx.step_path,
+        step_rank=pidx.step_rank,
+        path_first=pidx.path_first,
+        path_count=pidx.path_count,
+        path_len=pidx.path_len,
+        node_ids=pidx.node_ids,
+        node_len=new_node_len,
+        handle_to_idx={int(n): i for i, n in enumerate(pidx.node_ids)},
+        step_node_idx=new_node_idx,
+        step_count_of_step=pidx.step_count_of_step,
+    )
+
+
 def bench_params(pidx: PathIndex, batch: int, rounds: int) -> PathSGDParams:
     """Params that make the production engine run exactly ``rounds``
     rounds of width ``batch`` (iter_max = rounds-1, mtu = batch)."""
@@ -123,8 +159,8 @@ def bench_batched_1d(
 
 def bench_sweep_1d(
     pidx: PathIndex, rounds: int = 50, repeats: int = 3,
-    per_octave: int = 4, consensus_every: int = 4,
-    active_frac: Optional[float] = None, rotate="auto",
+    per_octave: Optional[int] = None, consensus_every: Optional[int] = None,
+    active_frac: Optional[float] = None, rotate=None,
 ) -> dict:
     """Time the gather-free offset-sweep engine (throughput mode).
 
@@ -137,12 +173,13 @@ def bench_sweep_1d(
     from .ops.sweep import build_sweep_runner
 
     # schedule: `rounds` sweeps of one iteration each
+    from .ops.sweep_common import auto_sweep_config
+
     p = bench_params(pidx, 1, 1)
     S = pidx.total_steps
     N = pidx.num_nodes
-    frac = active_frac if active_frac is not None else float(
-        np.clip(N / max(S, 1), 1.0 / 16.0, 1.0)
-    )
+    frac = (active_frac if active_frac is not None
+            else auto_sweep_config(S, N)["active_frac"])
     ups = max(1, int(S * frac))
     p = replace(p, iter_max=rounds - 1, min_term_updates=ups)
 
@@ -177,10 +214,124 @@ def bench_sweep_1d(
         "sweeps": info["n_sweeps"],
         "final_finite": bool(np.isfinite(x).all()),
         "active_frac": frac,
+        # EFFECTIVE knobs after the runner's adjustments (rotate='auto'
+        # resolution; ce rounded up to a multiple of rotate) — ADVICE
+        # r3: certified and production configs must state these
+        "consensus_every_eff": info["consensus_every"],
+        "rotate_eff": info["rotate"],
+        "consensus": info.get("consensus"),
+        "consensus_coverage": (round(info["consensus_coverage"], 4)
+                               if info.get("consensus_coverage") is not None
+                               else None),
+        "kernel_buckets_per_phase": info.get("kernel_buckets_per_phase"),
+        "xla_buckets_per_phase": info.get("xla_buckets_per_phase"),
         # warm-up wall = trace + (tunnel) compile + one run; steady-state
         # `seconds` is pure device+dispatch time.  A warm persistent
         # cache shows here as warmup_s ~~ seconds + trace time.
         "warmup_s": warmup,
+    }
+
+
+# --- TPU v5e peak assumptions for the roofline (public chip specs; the
+# VPU figure is derived, not published: (8, 128) vector lanes x 4 ALUs
+# x ~0.94 GHz clock ~= 3.85e12 f32 elementwise ops/s.  Multi-pass ops
+# (divide ~7, exp/log ~10) are counted at their pass cost in the op
+# model below; see docs/DESIGN.md "Roofline" for the derivation.)
+V5E_HBM_BYTES_S = 819e9
+V5E_VPU_OPS_S = 3.85e12
+
+
+def roofline_model(rate: float, info: dict, applied_frac: float,
+                   consensus_ms: float = 21.0) -> dict:
+    """HBM-bytes and VPU-ops accounting for the 1D sweep engine at a
+    measured ``rate`` (pair-proposals/s/chip) — VERDICT r3 task 2.
+
+    Per-element-per-sweep models (active_frac=1, fused kernel on;
+    itemized in docs/DESIGN.md with the op-count table):
+
+    HBM bytes:
+      * sampler pass: read rank+cnt (8), write sidx (4)          = 12
+      * fused kernel: read xs/pos/sidx (12), write dsum/csum (8) = 20
+      * XLA huge buckets (one fused pass): re-read xs+sidx at 2
+        roll alignments (16), dk tables 8 per bucket,
+        dsum/csum read+write (16)                                = 32 + 8·n_xla
+      * combine: read xs/dsum/csum, write xs                     = 16
+    VPU ops (f32 pass counts):
+      * sampler (threefry bits ~90, zipf ~80, masks/snap ~50)   ~= 220
+      * fused kernel ~35/half -> 70 per bucket                  ~= 70·n_kern
+      * XLA bucket ~25/half (d read, not recomputed)            ~= 50·n_xla
+      * combine (div + add)                                     ~= 10
+
+    The consensus is accounted as measured amortized TIME (it is
+    neither BW- nor VPU-saturated; its cost structure is dots +
+    per-segment dynamic slices, scratch/gc_parts_probe.py).
+    """
+    n_kern = float(info.get("kernel_buckets_per_phase") or 0.0)
+    n_xla = float(info.get("xla_buckets_per_phase") or 0.0)
+    ce = max(int(info.get("consensus_every_eff")
+                 or info.get("consensus_every") or 1), 1)
+    frac = float(info.get("active_frac") or 1.0)
+
+    bytes_pe = 12 + 20 + (32 + 8 * n_xla if n_xla else 0) + 16
+    ops_pe = 220 + 70 * n_kern + 50 * n_xla + 10
+    # rate counts proposals = S·frac/sweep; per-element costs are
+    # density-independent (masked SIMD), so per-UPDATE cost = per-elem
+    # cost / frac
+    bytes_pu = bytes_pe / max(frac, 1e-9)
+    ops_pu = ops_pe / max(frac, 1e-9)
+
+    bw_frac = bytes_pu * rate / V5E_HBM_BYTES_S
+    vpu_frac = ops_pu * rate / V5E_VPU_OPS_S
+    # amortized consensus time as a fraction of the per-sweep budget
+    ups = float(info.get("updates_per_sweep")
+                or (info["updates"] / max(info.get("sweeps", 1), 1)
+                    if "updates" in info else 1.0))
+    t_sweep_s = ups / max(rate, 1.0)
+    cons_frac = (consensus_ms * 1e-3 / ce) / max(t_sweep_s, 1e-12)
+    binding = "vpu" if vpu_frac >= bw_frac else "hbm"
+    ceiling = (V5E_VPU_OPS_S / ops_pu if binding == "vpu"
+               else V5E_HBM_BYTES_S / bytes_pu)
+    return {
+        "bytes_per_update": round(bytes_pu, 1),
+        "vpu_ops_per_update": round(ops_pu, 1),
+        "achieved_bw_frac": round(bw_frac, 4),
+        "vpu_frac": round(vpu_frac, 4),
+        "consensus_time_frac": round(cons_frac, 4),
+        "applied_updates_frac": round(applied_frac, 4),
+        "binding": binding,
+        "implied_ceiling_updates_per_s": round(ceiling, 1),
+        "model": "docs/DESIGN.md#roofline",
+    }
+
+
+def measure_applied_frac(
+    pidx: PathIndex, rounds: int = 24, **cfg
+) -> dict:
+    """Fraction of proposed pair updates the engine actually APPLIES
+    under the given config (VERDICT r3 weak #5) — replayed exactly via
+    :func:`gfasort_tpu.ops.sweep.build_applied_counter` with the
+    engine's key schedule, no hot-loop instrumentation."""
+    import jax
+
+    from .ops.sweep import build_applied_counter
+    from .ops.sweep_common import auto_sweep_config
+
+    p = bench_params(pidx, 1, 1)
+    S, N = pidx.total_steps, pidx.num_nodes
+    frac = cfg.get("active_frac")
+    if frac is None:
+        frac = auto_sweep_config(S, N)["active_frac"]
+        cfg = dict(cfg, active_frac=frac)
+    ups = max(1, int(S * frac))
+    p = replace(p, iter_max=rounds - 1, min_term_updates=ups)
+    count_fn, arrays, info = build_applied_counter(pidx, p, **cfg)
+    applied = int(jax.device_get(count_fn(jax.random.key(p.seed), *arrays)))
+    return {
+        "applied": applied,
+        "proposed": info["proposed"],
+        "applied_frac": applied / max(info["proposed"], 1),
+        "total_exec_sweeps": info["total_exec_sweeps"],
+        "n_sweeps": info["n_sweeps"],
     }
 
 
@@ -327,7 +478,7 @@ def sweep_quality_vs_oracle(
 
 def bench_sweep_nd(
     pidx: PathIndex, dims: int = 2, rounds: int = 48, repeats: int = 3,
-    consensus_every: int = 8, rotate: int = 8,
+    consensus_every: Optional[int] = None, rotate=None,
     active_frac: Optional[float] = None,
 ) -> dict:
     """Time the nD layout sweep engine (BASELINE configs 3-4; reference
@@ -337,11 +488,13 @@ def bench_sweep_nd(
     from .ops.sweep_nd import build_sweep_nd_runner
     from .params import LayoutSGDParams
 
+    from .ops.sweep_common import auto_sweep_config
+
     lp = LayoutSGDParams().derive_from_graph(pidx, dims)
     S = pidx.total_steps
     N = pidx.num_nodes
     frac = (active_frac if active_frac is not None
-            else float(np.clip(N / max(S, 1), 1.0 / 4.0, 1.0)))
+            else auto_sweep_config(S, N, layout=True)["active_frac"])
     ups = max(1, int(S * frac))
     lp = replace(lp, iter_max=rounds - 1, min_term_updates=ups,
                  dtype="float32", pow_mode="fast")
@@ -376,6 +529,8 @@ def bench_sweep_nd(
         "sweeps": info["n_sweeps"],
         "dims": dims,
         "final_finite": bool(np.isfinite(xn).all()),
+        "consensus_every_eff": info["consensus_every"],
+        "rotate_eff": info["rotate"],
         "warmup_s": warmup,
     }
 

@@ -23,7 +23,116 @@ import numpy as np
 
 from .fastpow import fast_precise_pow as _fpp_host
 
-__all__ = ["make_offset_sampler", "INACTIVE", "auto_rotate"]
+__all__ = ["make_offset_sampler", "INACTIVE", "auto_rotate",
+           "auto_sweep_config", "phase_structure", "LARGE_S"]
+
+
+def phase_structure(offs: np.ndarray, rotate, consensus_every: int):
+    """Resolve bucket rotation for an offset set (shared by the 1D, nD
+    and sharded sweep engines; was four identical copies).
+
+    Each sweep uses the dense offsets (1..8, most of the warm-phase
+    Zipf mass) plus every ``rotate``-th large offset, with the phase
+    advancing per sweep.  Sweep cost is proportional to the number of
+    offset buckets (one fused pass per bucket), so rotation cuts the
+    hot-loop cost ~(K/K_phase)x while the aggregate jump distribution
+    over ``rotate`` consecutive sweeps matches the full offset set at
+    its native resolution.  The global max offset is kept in every
+    phase so the top of the jump space stays reachable.  The consensus
+    period is rounded up to whole rotations so every phase runs equally
+    often (and the phase of a sweep slot stays static in the engines'
+    unrolled rotation blocks).
+
+    Returns (phase_offsets, rotate, consensus_every).
+    """
+    K = len(offs)
+    n_dense = int((offs <= 8).sum())
+    if rotate == "auto":
+        rotate = auto_rotate(K, n_dense)
+    rotate = int(max(1, rotate))
+    if rotate > 1 and (K - n_dense) < 2 * rotate:
+        rotate = 1  # too few large buckets to be worth striding
+    if rotate > 1:
+        phase_offsets = [
+            np.concatenate([offs[:n_dense], offs[n_dense + p :: rotate]])
+            for p in range(rotate)
+        ]
+        phase_offsets = [
+            po_ if po_[-1] == offs[-1] else np.append(po_, offs[-1])
+            for po_ in phase_offsets
+        ]
+        consensus_every = -(-consensus_every // rotate) * rotate
+    else:
+        phase_offsets = [offs]
+    return phase_offsets, rotate, int(consensus_every)
+
+# Workloads with at least this many total steps are in the
+# "amortization regime": sweep cost is large enough that consensus
+# amortization and coarser jump quantization pay for themselves, and
+# every quality certification so far has been flat-to-BETTER with the
+# aggressive settings (see auto_sweep_config).  Matches the fused
+# kernel's size floor (sweep_dense.dense_kernel_enabled).
+LARGE_S = 1 << 18
+
+
+def auto_sweep_config(S: int, N: int, *, layout: bool = False) -> dict:
+    """Shape-aware zero-kwarg engine config (VERDICT r3 task 1).
+
+    The r3 CLI default shipped conservative settings everywhere
+    (derived frac ~= N/S, consensus_every=8, per_octave=4), measuring
+    ~224M upd/s at the bench shape while the same engine certified
+    as-well-or-better at 1,565M with the throughput settings.  The
+    policy axes, each backed by a measurement:
+
+    * ``active_frac`` — FULL activation when path redundancy S/N <= 5
+      steps/node: at S/N=4 (chromosome/genome shapes) frac=1.0
+      certifies BETTER than sparser activation (rank-MAE 3.2e-4 vs
+      3.8e-4; layout stress ratio 0.88 vs 1.07 — ROUND3_NOTES).  Above
+      that, the r2-validated ~1-update-per-node derivation
+      ``clip(N/S, floor, 1)``: on the real DRB1 fixture (S/N=7.1)
+      quality degrades MONOTONICALLY with frac (1D rank-MAE 0.88e-3 /
+      1.07e-3 / 1.78e-3 at frac 0.141 / 0.286 / 0.565; layout stress
+      ratio 1.08 / 1.09 / 1.13 — r4 measurement), because real
+      pangenome paths overlap the same nodes heavily and full-width
+      rounds average many pulls against one stale snapshot.  Synthetic
+      many-path walks (scratch/auto_cfg_probe.py) tolerate any frac;
+      real redundancy is what the S/N axis detects.
+    * ``consensus_every`` — rarer consensus has certified
+      flat-to-better at EVERY period probed on >=100k-step workloads
+      (1D: identical certs at ce=48/96; layout: ratio 0.908 at ce=16 ->
+      0.898 at ce=48), and the R=1 consensus call (~21 ms) dominates
+      sweep cost when amortized too often.  Large regime: 96 (1D) / 48
+      (layout); below LARGE_S total steps the engine keeps the
+      conservative ce=8 that DRB1-scale fixtures were validated at.
+    * ``per_octave`` — 2 in the large regime (the certs above are all
+      po=2; halves the bucket count), 4 below it (finer jump grid,
+      sweep cost negligible).
+    * ``rotate`` — 12 in the large regime (measured fastest AND
+      best-certifying period; 16 hits a Mosaic compile bug), else the
+      measured auto_rotate default.
+    """
+    floor = 0.25 if layout else 1.0 / 16.0
+    spn = S / max(N, 1)  # path redundancy: steps per node
+    if spn <= 5.0:
+        frac = 1.0
+    else:
+        frac = float(np.clip(N / max(S, 1), floor, 1.0))
+    large = S >= LARGE_S
+    if layout:
+        # small-regime layout keeps the DRB1-validated (rotate=8, ce=8,
+        # frac floor 1/4) defaults from r2/r3 (sweep_nd.py tuning note)
+        return dict(
+            active_frac=frac,
+            consensus_every=48 if large else 8,
+            per_octave=3,
+            rotate=12 if large else 8,
+        )
+    return dict(
+        active_frac=frac,
+        consensus_every=96 if large else 8,
+        per_octave=2 if large else 4,
+        rotate=12 if large else "auto",
+    )
 
 # Sentinel "no partner chosen" value emitted by sample_block and matched
 # by every sweep body (ops/sweep.py, ops/sweep_dense.py, shard engines).

@@ -27,7 +27,7 @@ from ..params import LayoutSGDParams
 from .fastpow import zeta_table
 from .schedule import eta_schedule
 from .sweep import offset_set
-from .sweep_common import auto_rotate
+from .sweep_common import auto_sweep_config, phase_structure
 
 __all__ = [
     "build_sweep_nd_runner",
@@ -161,11 +161,14 @@ def make_nd_sweep_fn(offs_p, S, D, params, zetas, fdt, active_frac,
 def build_sweep_nd_runner(
     pidx: PathIndex,
     params: LayoutSGDParams,
-    per_octave: int = 3,
-    consensus_every: int = 8,
+    per_octave: Optional[int] = None,
+    consensus_every: Optional[int] = None,
     active_frac: Optional[float] = None,
-    rotate: int | str = 8,
+    rotate=None,
 ):
+    """Knobs left as None default to the shape-aware policy
+    (:func:`gfasort_tpu.ops.sweep_common.auto_sweep_config` with
+    ``layout=True``)."""
     import jax
     import jax.numpy as jnp
 
@@ -175,33 +178,26 @@ def build_sweep_nd_runner(
     N = pidx.num_nodes
     D = int(params.dimensions)
 
+    _auto = auto_sweep_config(S, N, layout=True)
+    if per_octave is None:
+        per_octave = _auto["per_octave"]
+    if consensus_every is None:
+        consensus_every = _auto["consensus_every"]
+    if active_frac is None:
+        active_frac = _auto["active_frac"]
+    if rotate is None:
+        rotate = _auto["rotate"]
+
     # layout jumps are rank-limited like 1D (space is already in steps
     # for the layout params, src/sgd.rs:754)
     max_jump = max(1, min(int(params.space), pidx.max_path_step_count - 1))
     offs = offset_set(max_jump, per_octave)
     K = len(offs)
 
-    # bucket rotation (see ops/sweep.py): dense offsets every sweep,
-    # large offsets phase-strided — cuts the per-sweep roll passes
-    # ~(K/K_phase)x with the aggregate jump distribution unchanged
-    n_dense = int((offs <= 8).sum())
-    if rotate == "auto":
-        rotate = auto_rotate(K, n_dense)
-    rotate = int(max(1, rotate))
-    if rotate > 1 and (K - n_dense) < 2 * rotate:
-        rotate = 1
-    if rotate > 1:
-        phase_offsets = [
-            np.concatenate([offs[:n_dense], offs[n_dense + p :: rotate]])
-            for p in range(rotate)
-        ]
-        phase_offsets = [
-            po_ if po_[-1] == offs[-1] else np.append(po_, offs[-1])
-            for po_ in phase_offsets
-        ]
-        consensus_every = -(-consensus_every // rotate) * rotate
-    else:
-        phase_offsets = [offs]
+    # bucket rotation (see ops/sweep.py and sweep_common.phase_structure)
+    phase_offsets, rotate, consensus_every = phase_structure(
+        offs, rotate, consensus_every
+    )
 
     pos = jnp.asarray(pidx.step_pos, dtype=fdt)
     rank_arr = jnp.asarray(pidx.step_rank.astype(np.int32))
@@ -212,11 +208,11 @@ def build_sweep_nd_runner(
         jnp.asarray(pidx.step_node_idx.astype(np.int32))
     ].astype(fdt)  # node length per step (resident, no gather in loop)
 
-    # nD default tuned on DRB1 vs the bit-exact oracle (scratch logs in
-    # repo history): frac floor 1/4 + rotate=8 + ce=8 reaches
-    # oracle-grade stress (0.278 vs 0.274; the old 1/16 floor gave 0.31)
-    if active_frac is None:
-        active_frac = float(np.clip(N / max(S, 1), 1.0 / 4.0, 1.0))
+    # active_frac resolved up front by auto_sweep_config(layout=True):
+    # frac floor 1/4 + rotate=8 + ce=8 reaches oracle-grade stress on
+    # DRB1 (0.278 vs 0.274; the old 1/16 floor gave 0.31); large shapes
+    # get the certified frac=min(4N/S, 1) (stress ratio 0.879 at the
+    # chromosome cert shape, BEATS the oracle)
     updates_per_sweep = max(1, int(S * active_frac))
 
     etas = eta_schedule(
@@ -398,10 +394,10 @@ def path_linear_sgd_layout_sweep(
     graph: Optional[BidirectedGraph],
     params: LayoutSGDParams,
     pidx: Optional[PathIndex] = None,
-    per_octave: int = 3,
-    consensus_every: int = 8,
+    per_octave: Optional[int] = None,
+    consensus_every: Optional[int] = None,
     active_frac: Optional[float] = None,
-    rotate: int | str = 8,
+    rotate=None,
     init_coords: Optional[np.ndarray] = None,
 ) -> Layout:
     import jax

@@ -30,7 +30,7 @@ from ..params import LayoutSGDParams
 from ..ops.fastpow import zeta_table
 from ..ops.schedule import eta_schedule
 from ..ops.sweep import offset_set
-from ..ops.sweep_common import auto_rotate
+from ..ops.sweep_common import auto_sweep_config, phase_structure
 from ..ops.sweep_nd import make_nd_sweep_fn
 from .mesh import default_mesh
 from .sweep_shard import _shard_arrays, _shard_grid_plans
@@ -45,10 +45,10 @@ def build_sharded_sweep_nd(
     pidx: PathIndex,
     params: LayoutSGDParams,
     mesh,
-    per_octave: int = 3,
-    consensus_every: int = 8,
+    per_octave: Optional[int] = None,
+    consensus_every: Optional[int] = None,
     active_frac: Optional[float] = None,
-    rotate="auto",
+    rotate=None,
 ):
     """Returns (run, placed_arrays, make_state, info); run(cs_sh,
     cs_node_init, key, *arrays) executes the full layout schedule under
@@ -93,33 +93,32 @@ def build_sharded_sweep_nd(
             rev_np[d, off : off + c] = rev_src[f : f + c]
             off += c
 
+    # shape-aware defaults; consensus period scaled by shard length
+    # like the 1D sharded engine (sweep_shard.shard_consensus_every)
+    from .sweep_shard import shard_consensus_every
+
+    _auto = auto_sweep_config(S, N, layout=True)
+    if per_octave is None:
+        per_octave = _auto["per_octave"]
+    if consensus_every is None:
+        consensus_every = shard_consensus_every(
+            L, _auto["consensus_every"], S
+        )
+    if active_frac is None:
+        active_frac = _auto["active_frac"]
+    if rotate is None:
+        rotate = _auto["rotate"]
+
     max_jump = max(1, min(int(params.space), pidx.max_path_step_count - 1))
     offs = offset_set(max_jump, per_octave)
     K = len(offs)
-
-    # bucket rotation (see ops/sweep.py)
     n_dense = int((offs <= 8).sum())
-    if rotate == "auto":
-        rotate = auto_rotate(K, n_dense)
-    rotate = int(max(1, rotate))
-    if rotate > 1 and (K - n_dense) < 2 * rotate:
-        rotate = 1
-    if rotate > 1:
-        phase_offsets = [
-            np.concatenate([offs[:n_dense], offs[n_dense + p :: rotate]])
-            for p in range(rotate)
-        ]
-        phase_offsets = [
-            po_ if po_[-1] == offs[-1] else np.append(po_, offs[-1])
-            for po_ in phase_offsets
-        ]
-        consensus_every = -(-consensus_every // rotate) * rotate
-    else:
-        phase_offsets = [offs]
 
-    # same active-fraction floor as the single-device nD engine
-    if active_frac is None:
-        active_frac = float(np.clip(N / max(S, 1), 1.0 / 4.0, 1.0))
+    # bucket rotation (see ops/sweep.py and sweep_common.phase_structure)
+    phase_offsets, rotate, consensus_every = phase_structure(
+        offs, rotate, consensus_every
+    )
+
     updates_per_sweep = max(1, int(S * active_frac))
 
     etas = eta_schedule(

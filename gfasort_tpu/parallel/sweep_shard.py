@@ -24,8 +24,41 @@ from ..index import PathIndex
 from ..params import PathSGDParams
 from ..ops.fastpow import zeta_table
 from ..ops.schedule import eta_schedule
-from ..ops.sweep_common import auto_rotate
+from ..ops.sweep_common import auto_sweep_config, phase_structure
 from ..ops.sweep import offset_set
+
+# Steps a shard should process between consensus collectives so the
+# fixed psum cost stays amortized (strong-scaling knob, VERDICT r3
+# task 7).  Derivation (docs/SCALING.md §4): the collective is
+# ~0.1-0.6 ms at 256 chips regardless of shard length, while shard
+# compute per period is ce · S_shard / rate (rate ~1.5e9 upd/s/chip at
+# frac=1).  Keeping the collective <= 1/4 of compute (>= 80%
+# efficiency) at the worst-case 0.6 ms needs ce·S_shard >= 4 · 0.6e-3
+# · 1.5e9 ~= 3.6e6; the default targets 4M with ce capped at 384
+# (certifications have been flat-to-better at every larger period
+# probed; the cap bounds staleness).
+PSUM_AMORT_STEPS = 4_000_000
+CE_CAP = 384
+
+
+def shard_consensus_every(L: int, base_ce: int, S_total: int) -> int:
+    """Consensus period for shard length ``L``: at least the
+    single-chip auto period, raised so ce·L covers PSUM_AMORT_STEPS,
+    capped at CE_CAP.  Moves the strong-scaling 80% crossing from
+    S_shard ~= 60k (fixed ce=8) to ~= PSUM_AMORT_STEPS/CE_CAP ~= 10k
+    steps/shard.
+
+    Only applies in the large regime (total steps >= LARGE_S): on
+    small graphs the whole run is milliseconds, collective cost is
+    irrelevant, and frequent cross-shard mixing is what quality rides
+    on (a 15-node fixture split over 2 shards lost oracle-grade
+    stress at ce=384 — r4 measurement)."""
+    from ..ops.sweep_common import LARGE_S
+
+    if S_total < LARGE_S:
+        return int(base_ce)
+    need = -(-PSUM_AMORT_STEPS // max(L, 1))
+    return int(np.clip(need, base_ce, CE_CAP))
 from .mesh import default_mesh, partition_paths
 
 __all__ = ["path_linear_sgd_sweep_sharded", "path_sgd_sort_sweep_sharded", "build_sharded_sweep"]
@@ -121,10 +154,10 @@ def build_sharded_sweep(
     pidx: PathIndex,
     params: PathSGDParams,
     mesh,
-    per_octave: int = 3,
-    consensus_every: int = 8,
+    per_octave: Optional[int] = None,
+    consensus_every: Optional[int] = None,
     active_frac: Optional[float] = None,
-    rotate="auto",
+    rotate=None,
 ):
     """Returns (run, placed_arrays, make_state, info); run(xs_sh,
     x_node0, key, *arrays) executes the full schedule under shard_map."""
@@ -146,33 +179,31 @@ def build_sharded_sweep(
     )
     grid = _shard_grid_plans(node_np, path_np, N, L, dtype)
 
+    # shape-aware defaults (sweep_common.auto_sweep_config), with the
+    # consensus period additionally scaled by SHARD length: small
+    # shards afford (and need, for psum amortization) rarer consensus
+    _auto = auto_sweep_config(S, N)
+    if per_octave is None:
+        per_octave = _auto["per_octave"]
+    if consensus_every is None:
+        consensus_every = shard_consensus_every(
+            L, _auto["consensus_every"], S
+        )
+    if active_frac is None:
+        active_frac = _auto["active_frac"]
+    if rotate is None:
+        rotate = _auto["rotate"]
+
     max_jump = max(1, min(int(params.space), pidx.max_path_step_count - 1))
     offs = offset_set(max_jump, per_octave)
     K = len(offs)
-
-    # bucket rotation (see ops/sweep.py): dense offsets every sweep,
-    # large offsets phase-strided per sweep
     n_dense = int((offs <= 8).sum())
-    if rotate == "auto":
-        rotate = auto_rotate(K, n_dense)
-    rotate = int(max(1, rotate))
-    if rotate > 1 and (K - n_dense) < 2 * rotate:
-        rotate = 1
-    if rotate > 1:
-        phase_offsets = [
-            np.concatenate([offs[:n_dense], offs[n_dense + p :: rotate]])
-            for p in range(rotate)
-        ]
-        phase_offsets = [
-            po_ if po_[-1] == offs[-1] else np.append(po_, offs[-1])
-            for po_ in phase_offsets
-        ]
-        consensus_every = -(-consensus_every // rotate) * rotate
-    else:
-        phase_offsets = [offs]
 
-    if active_frac is None:
-        active_frac = float(np.clip(N / max(S, 1), 1.0 / 16.0, 1.0))
+    # bucket rotation (see ops/sweep.py and sweep_common.phase_structure)
+    phase_offsets, rotate, consensus_every = phase_structure(
+        offs, rotate, consensus_every
+    )
+
     updates_per_sweep = max(1, int(S * active_frac))
 
     etas = eta_schedule(

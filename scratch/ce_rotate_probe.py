@@ -6,10 +6,14 @@ The headline config (ce=48, rotate=8, po=2, frac=1.0) spends per sweep
     (24.5 ms/call, scratch/gc_parts_probe.py), and
   * the kernel pass scales with the per-phase bucket count
     (8 dense + ~(K - 8)/rotate large; po=2 -> K ~= 38).
-Neither ce=96 nor rotate=16 was ever measured.  This probe times the
-2x2 grid of (ce in {48, 96}) x (rotate in {8, 16}) on the bench
+This probe times the ce sweep {48, 96, 192} at rotate=8 on the bench
 workload, then certifies any winner vs the bit-exact oracle at the
 100k cert shape (the bench only ships configs it certifies in-run).
+rotate=16 was removed from the grid: its phase bucket sets hit a
+Mosaic compile bug ("result/input offset mismatch on non-concat
+dimension" in the fused kernel's sublane-concat shifted views); the
+rotate=12 follow-up measurement lives in ROUND3_NOTES.md
+("rotate=8 -> 12" section) and sweep_common.auto_rotate's docstring.
 
 Usage: python scratch/ce_rotate_probe.py [--quality]
 """

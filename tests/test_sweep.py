@@ -131,3 +131,74 @@ def test_chunked_dispatch_matches_single(monkeypatch, lil_gfa):
     monkeypatch.setenv("GFASORT_SWEEP_DISPATCH_ELEMS", "1")  # 1 period/dispatch
     x2 = path_linear_sgd_sweep(g, p, pidx, consensus_every=4)
     np.testing.assert_array_equal(x1, x2)
+
+
+def test_auto_sweep_config_policy():
+    """Shape-aware zero-kwarg policy (VERDICT r3 task 1): large few-path
+    shapes get the certified throughput settings; small many-path loci
+    keep conservative ones; active updates per node per sweep <= ~4."""
+    from gfasort_tpu.ops.sweep_common import LARGE_S, auto_sweep_config
+
+    big = auto_sweep_config(4_000_000, 1_000_000)  # bench shape, S/N=4
+    assert big == dict(active_frac=1.0, consensus_every=96,
+                       per_octave=2, rotate=12)
+    small = auto_sweep_config(60_000, 5_000)  # DRB1-like, S/N=12
+    assert small["consensus_every"] == 8 and small["per_octave"] == 4
+    assert abs(small["active_frac"] - 5_000 / 60_000) < 1e-9
+    # full activation only at low path redundancy (S/N <= 5)
+    assert auto_sweep_config(5 * 1000, 1000)["active_frac"] == 1.0
+    assert auto_sweep_config(6 * 1000, 1000)["active_frac"] < 1.0
+    # boundary: the regime flips exactly at LARGE_S
+    assert auto_sweep_config(LARGE_S, 100_000)["consensus_every"] == 96
+    assert auto_sweep_config(LARGE_S - 1, 100_000)["consensus_every"] == 8
+    # layout variant keeps the DRB1-validated small-regime settings
+    lay = auto_sweep_config(35_059, 4_955, layout=True)  # real DRB1 shape
+    assert lay == dict(active_frac=0.25, consensus_every=8,
+                       per_octave=3, rotate=8)
+
+
+def test_applied_counter_matches_manual_count():
+    """build_applied_counter must equal a manual numpy count over the
+    sampler's own output (one sweep, no period padding)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gfasort_tpu.bench_util import synthetic_path_index
+    from gfasort_tpu.ops.fastpow import zeta_table
+    from gfasort_tpu.ops.sweep import build_applied_counter, offset_set
+    from gfasort_tpu.ops.sweep_common import make_offset_sampler
+    from gfasort_tpu.params import PathSGDParams
+
+    pidx = synthetic_path_index(2000, 3, 4000, seed=5)
+    S = pidx.total_steps
+    p = replace(
+        PathSGDParams().derive_from_graph(pidx),
+        dtype="float32", pow_mode="fast", iter_max=0,
+        min_term_updates=S // 2,
+    )
+    cfg = dict(per_octave=3, consensus_every=1, active_frac=0.5, rotate=1)
+    count_fn, arrays, info = build_applied_counter(pidx, p, **cfg)
+    assert info["total_exec_sweeps"] == 1
+    got = int(jax.device_get(count_fn(jax.random.key(p.seed), *arrays)))
+
+    # manual: same keys, same sampler, numpy masks
+    max_jump = max(1, min(int(p.space), pidx.max_path_step_count - 1))
+    offs = offset_set(max_jump, 3)
+    zetas = zeta_table(p.space, p.space_max, p.space_quantization_step,
+                      p.theta)
+    _, _, sample_block = make_offset_sampler(offs, p, zetas, jnp.float32)
+    key = jax.random.fold_in(jax.random.key(p.seed), 0)
+    k1, k2 = jax.random.split(key, 2)
+    bits = jax.random.bits(k1, (S,), jnp.uint32)
+    u = jax.random.uniform(k2, (S,), dtype=jnp.float32)
+    sidx = np.asarray(jax.device_get(sample_block(
+        bits, u, jnp.asarray(False), arrays[1], arrays[2], 0.5)))
+    pos = pidx.step_pos
+    manual = 0
+    for ki, k in enumerate(offs.tolist()):
+        fwd = np.flatnonzero(sidx == ki)
+        manual += int(np.sum(pos[fwd] != pos[fwd + k]))
+        bwd = np.flatnonzero(sidx == ~np.int32(ki))
+        manual += int(np.sum(pos[bwd] != pos[bwd - k]))
+    assert got == manual
+    assert 0 < got <= info["proposed"]
