@@ -350,7 +350,7 @@ def main() -> int:
     # + modeled bytes/ops per update vs v5e peaks ----
     from gfasort_tpu.bench_util import measure_applied_frac, roofline_model
 
-    af = measure_applied_frac(pidx, rounds=24, **THROUGHPUT_CFG)
+    af = measure_applied_frac(pidx, rounds=ROUNDS, **THROUGHPUT_CFG)
     err(f"[bench] applied-updates fraction (throughput cfg): {af}")
     result["roofline"] = roofline_model(
         rate=tpu_t["updates_per_s"],

@@ -326,10 +326,13 @@ def measure_applied_frac(
     p = replace(p, iter_max=rounds - 1, min_term_updates=ups)
     count_fn, arrays, info = build_applied_counter(pidx, p, **cfg)
     applied = int(jax.device_get(count_fn(jax.random.key(p.seed), *arrays)))
+    # denominator = EXECUTED proposals (incl. the engine's
+    # period-padding sweeps, which also run and apply updates)
+    executed = info["total_exec_sweeps"] * info["updates_per_sweep"]
     return {
         "applied": applied,
-        "proposed": info["proposed"],
-        "applied_frac": applied / max(info["proposed"], 1),
+        "proposed_executed": executed,
+        "applied_frac": applied / max(executed, 1),
         "total_exec_sweeps": info["total_exec_sweeps"],
         "n_sweeps": info["n_sweeps"],
     }

@@ -563,13 +563,16 @@ def build_applied_counter(
                     d_f = jnp.abs(pos - jnp.roll(pos, -k))
                     d_b = jnp.abs(pos - jnp.roll(pos, +k))
                     acc = acc + jnp.sum(
-                        (sidx == ki) & (d_f != 0), dtype=jnp.int64
+                        (sidx == ki) & (d_f != 0), dtype=jnp.int32
                     )
                     acc = acc + jnp.sum(
-                        (sidx == ~ki) & (d_b != 0), dtype=jnp.int64
+                        (sidx == ~ki) & (d_b != 0), dtype=jnp.int32
                     )
             return acc
-        return jax.lax.fori_loop(0, n_blocks, block, jnp.int64(0))
+        # i32 accumulator: exact to 2.1e9 applied pairs — above any
+        # schedule this counter is pointed at (bench: <4e8; full CLI
+        # 4M-genome schedule: ~1.6e9); x64 is disabled in this stack
+        return jax.lax.fori_loop(0, n_blocks, block, jnp.int32(0))
 
     info = {
         "n_sweeps": n_sweeps,

@@ -2,7 +2,10 @@
 
 Provides the quantized-jump sampling kernel used by all sweep variants:
 
-* arithmetic snap-to-offset (no searchsorted, no table gathers),
+* exact snap-to-offset via a branch-free where-tree binary search over
+  the offset values (no table gathers; r4 — the previous arithmetic
+  approximation assumed log-uniform offset sets and silently
+  deactivated most proposals on rotation-phase sets),
 * bucketed DirtyZipfian with per-bucket zeta/eta constants selected via
   a log-depth where-tree (a per-element zeta-table lookup is a hidden
   [S]-sized gather, profiled at ~26 ms/sweep on 4M steps),
@@ -172,13 +175,6 @@ def make_offset_sampler(offs: np.ndarray, params, zetas: np.ndarray, fdt):
     space_max = int(params.space_max)
     quant = int(params.space_quantization_step)
     theta0 = float(params.theta)
-    _dense = int((offs <= 8).sum())
-    # per_octave is implicit in offs; recover the log spacing directly
-    if K > _dense:
-        _log_step = (np.log2(offs[-1]) - np.log2(_dense)) / (K - _dense)
-    else:
-        _log_step = 1.0
-
     def off_of(i):
         """offs[i] via where-tree (no gather)."""
 
@@ -190,34 +186,37 @@ def make_offset_sampler(offs: np.ndarray, params, zetas: np.ndarray, fdt):
 
         return build(0, K)
 
-    def snap_idx_approx(z):
-        """Arithmetic offset index for z (no correction, NO where-trees).
-        Exact for the dense range; in the log range it can land a bucket
-        or two off where the offset set is not exactly log-uniform
-        (integer rounding; a rotation phase's appended global-max
-        offset).  The sampler's own clamp keeps any overshoot safe, and
-        a one-bucket blur on an already-quantized log grid is the same
-        approximation class as the snapping itself."""
+    def snap_idx_exact(z):
+        """EXACT index of the largest offset <= z, as a branch-free
+        binary search over the offset values (log2(K) ~ 4-6 levels of
+        compare+select, ~12 VPU ops/element — cheaper than the approx
+        formula plus correction nudges).
+
+        This replaced snap_idx_approx in the hot sampling path in r4:
+        rotation-phase offset sets are NOT log-uniform (dense 1..8,
+        stride-`rotate` large entries ~6 octaves apart at po=2/rot=12,
+        plus the appended global max), so the log-uniform approx landed
+        whole buckets off — measured on the bench throughput config:
+        ~60-74%% of proposals deactivated by the off>avail guard or
+        snapped to jumps up to ~64x the sampled length.  The exact
+        snap restores the documented semantics (sample the jump
+        exactly, snap DOWN to the offset set): off <= z <= avail by
+        construction, so the overshoot guard almost never fires and
+        applied/proposed rises from ~0.26 to ~1."""
         z = jnp.maximum(z, 1)
-        lz = jnp.log2(z.astype(fdt)) - np.float32(np.log2(max(_dense, 1)))
-        m = jnp.floor(lz / fdt(_log_step)).astype(jnp.int32)
-        idx_log = _dense - 1 + jnp.maximum(m, 0) + 1
-        return jnp.where(z <= _dense, z.astype(jnp.int32) - 1,
-                         jnp.clip(idx_log, _dense - 1, K - 1))
+
+        def build(lo, hi):
+            if hi - lo == 1:
+                return jnp.int32(lo)
+            mid = (lo + hi) // 2
+            return jnp.where(z < jnp.int32(int(offs[mid])),
+                             build(lo, mid), build(mid, hi))
+
+        return build(0, K)  # z >= 1 = offs[0], so index 0 is a floor
 
     def snap_to_offset(z):
-        """Index of the largest offset <= z (exact; used off the hot
-        path — each nudge is a where-tree over the offset set)."""
-        idx = snap_idx_approx(z)
-        z = jnp.maximum(z, 1)
-        for _ in range(2):
-            too_big = off_of(idx) > z
-            idx = jnp.where(too_big, jnp.maximum(idx - 1, 0), idx)
-        for _ in range(2):
-            nxt = jnp.minimum(idx + 1, K - 1)
-            fits = off_of(nxt) <= z
-            idx = jnp.where(fits & (nxt > idx), nxt, idx)
-        return idx
+        """Index of the largest offset <= z (exact)."""
+        return snap_idx_exact(z)
 
     def _bucket_consts(theta):
         zeta_k = np.empty(K)
@@ -253,8 +252,9 @@ def make_offset_sampler(offs: np.ndarray, params, zetas: np.ndarray, fdt):
     def zipf_z(u, jump_space, cooling):
         n = jnp.maximum(jump_space, 1).astype(fdt)
         # zeta/eta constants are a coarse bucketing of jump_space; the
-        # approximate index is exactly as meaningful here
-        js_idx = snap_idx_approx(jnp.maximum(jump_space, 1))
+        # exact snap keeps the bucket choice right on the non-uniform
+        # rotation-phase sets too (same cost as the approx since r4)
+        js_idx = snap_idx_exact(jnp.maximum(jump_space, 1))
         zeta = const_tree(js_idx, _zw, _zc, cooling)
         eta_z = const_tree(js_idx, _ew, _ec, cooling)
         zeta2theta = jnp.where(cooling, fdt(_z2tc), fdt(_z2tw))
@@ -289,7 +289,7 @@ def make_offset_sampler(offs: np.ndarray, params, zetas: np.ndarray, fdt):
         z_zipf = zipf_z(u, jump_space, cooling)
         z_unif = 1 + (u * jnp.maximum(avail, 1).astype(fdt)).astype(jnp.int32)
         z = jnp.where(use_zipf, z_zipf, z_unif)
-        oidx = snap_idx_approx(z)
+        oidx = snap_idx_exact(z)
         # Enforce the snapped jump within the available rank range HERE,
         # where avail is already in registers: downstream sweep halves
         # then need NO rank/cnt reads — a choice of +offs[ki] (resp.
@@ -297,8 +297,9 @@ def make_offset_sampler(offs: np.ndarray, params, zetas: np.ndarray, fdt):
         # and paths are contiguous in step space, so the partner index
         # s±k is that step (the only remaining hazard is the roll
         # wraparound at the array ends, guarded by an iota compare).
-        # the approximate snap can overshoot z by a bucket; this mask
-        # both keeps the guarantee and deactivates those rare terms.
+        # With the exact snap, off <= z <= avail by construction; the
+        # mask stays as a safety net (it deactivates nothing in
+        # practice — certified by the bench's applied_updates_frac).
         active = act & (forward | backward) & (cnt_a > 1) & (off_of(oidx) <= avail)
         sidx = jnp.where(
             active, jnp.where(backward, ~oidx, oidx), INACTIVE
