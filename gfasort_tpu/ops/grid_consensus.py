@@ -145,6 +145,13 @@ def choose_grid_geometry(
     else:
         drift_p99 = 0.0
 
+    # NOTE: plan_grid floors anchors to the D-grid (placement-dot
+    # merge), consuming up to D-1 of top-edge window headroom.  The D
+    # term below covers it in the common case; measured on the bench /
+    # cert workloads the flooring changes coverage by exactly 0 (the
+    # binding loss is span-straddler tiles, which no window fits), and
+    # the coverage>=0.97 fallback in ops/sweep.select_consensus guards
+    # the rest.
     m = max(2, -(-int(D + span_p99 + drift_p99 + _LANE) // D))
     m = min(m, max(2, max_window // D))
     return D, m * D, m
@@ -242,9 +249,15 @@ def plan_grid(
     # anchors are stored SHIFTED by the static front pad OFF =
     # seg_tiles*D so mixed segments may anchor below node 0 (a path
     # restarting mid-segment needs base_j = a + j_rel*D with a < 0);
-    # clamp into the padded buffer [0, OFF + N]
+    # clamp into the padded buffer [0, OFF + N].
+    # r4: anchors are floored to the D-grid so the window->node merge
+    # can run as a one-hot PLACEMENT DOT over whole D-rows instead of
+    # per-segment dynamic slices (callers grow W by D to keep the
+    # upper window edge covered; see make_grid_fns).  Flooring only
+    # lowers bases, so coverage cannot drop.
     OFF = seg_tiles * D
-    anchors = np.clip(anchors, -OFF, N).astype(np.int64)
+    anchors = (anchors // D) * D
+    anchors = np.clip(anchors, -OFF, (N // D) * D).astype(np.int64)
 
     seg_of_tile = np.arange(g) // seg_tiles
     bases = anchors[seg_of_tile] + (
@@ -322,16 +335,22 @@ def make_grid_fns(
     m = W // D
     L = seg_tiles * D  # per-segment window span at stride D
     # The one-hot/dot stage runs over WHOLE segments (g padded to
-    # n_seg*seg_tiles, pad tiles dead) so the segment scans below can
-    # slice fixed [seg_tiles]-tile blocks without a separate pad+
+    # n_seg*seg_tiles, pad tiles dead) so the window<->node stages can
+    # consume fixed [seg_tiles]-tile blocks without a separate pad+
     # re-layout copy of the [R, g, W] window buffer (a real transpose
     # for R > 1; the dead-tile dot work is ~3% and free vs that copy).
     g_pad = n_seg * seg_tiles
     S_pad = g_pad * T
     # node buffer: [OFF | N nodes | W + seg_tiles*D slack]; anchors
-    # arrive in buffer coordinates (plan_grid adds OFF)
+    # arrive in buffer coordinates (plan_grid adds OFF) and are
+    # D-grid-aligned (plan_grid floors them), so the buffer is viewed
+    # as [n_rows, D] whole rows for the placement dots below
     OFF = seg_tiles * D
     n_pad = OFF + N + W + seg_tiles * D + D
+    n_pad = -(-n_pad // D) * D  # whole D-rows
+    n_rows = n_pad // D
+    LC = L + (m - 1) * D        # combined per-segment run length
+    rps = LC // D               # rows per segment (LC is a D multiple)
     # Dot precision: HIGHEST (full f32).  Measured (r3,
     # scratch/gc_tile_probe.py at T=256/S=4M): dropping to HIGH saves
     # only ~2% (the dots are not the consensus bottleneck — the
@@ -360,6 +379,28 @@ def make_grid_fns(
         ).astype(jnp.float32)                    # [g_pad, T, LANE]
         return sel_hi, oh_lo
 
+    def _placement(anchors_a):
+        """One-hot row-placement matrix P [n_seg*rps, n_rows]:
+        P[seg*rps + i, r] = 1 iff r == anchors[seg]/D + i.  Anchors are
+        D-grid-aligned, so the window->node overlap-add (and its
+        transpose, the node->window fetch) become ONE dense MXU dot
+        over whole D-rows each — replacing the per-segment
+        dynamic-slice scans whose ~7 us/dynamic-op cost dominated the
+        consensus (~6.4 ms fwd + ~2 ms bwd of the 21 ms R=1 call at
+        S=4M; scratch/gc_parts_probe.py).  The dot is
+        [n_seg*rps, n_rows] x [n_rows, R*D] ~= 38 GFLOP at the bench
+        geometry — well under 1 ms on the MXU, and the placement
+        matrix is shared by fwd and bwd within one program."""
+        a_row = (anchors_a // D).astype(jnp.int32)           # [n_seg]
+        t = a_row[:, None] + lax.broadcasted_iota(
+            jnp.int32, (n_seg, rps), 1
+        )                                                    # [n_seg, rps]
+        t_flat = t.reshape(n_seg * rps)
+        iota_r = lax.broadcasted_iota(
+            jnp.int32, (n_seg * rps, n_rows), 1
+        )
+        return (t_flat[:, None] == iota_r).astype(jnp.float32)
+
     def fwd(xs, lidx_a, anchors_a, oob_steps_a, oob_nodes_a):
         """xs [S] or [R, S] -> raw per-node sums [n_pad] or [R, n_pad]
         (UNNORMALIZED; shard engines psum before dividing)."""
@@ -380,44 +421,38 @@ def make_grid_fns(
             preferred_element_type=jnp.float32,
             precision=HIGH,
         )                                         # [g_pad, R, Wh, LANE]
-        # segment-major view: the scan consumes whole [SL, R, W] blocks
-        # as a NATIVE leading-axis input — a bitcast of the dot output,
-        # no transpose and no per-segment dynamic_slice of the window
-        # buffer (each data-dependent dynamic op costs ~7 us on TPU
-        # regardless of loop structure; scratch/gc_tile_probe.py)
+        # segment-major view: a bitcast of the dot output, no transpose
         w_sm = wsum.reshape(n_seg, seg_tiles, R, W)
 
-        # window -> node: overlap-add at fixed stride (dynamic anchors).
-        # lax.scan over segments, NOT a Python loop: the unrolled form
-        # emitted ~n_seg*m dynamic_slice/_update_slice pairs (~1,000+
-        # HLO ops at S=4M), which dominated trace+compile time of every
-        # engine that embeds the consensus (VERDICT r2 weak #1).  Per
-        # segment the m strided chunks are first combined into ONE
-        # contiguous [R, L + (m-1)D] run with STATIC-offset adds
-        # (fusible), then applied with a single dynamic
-        # slice+add+update — 2 dynamic ops per segment.
-        LC = L + (m - 1) * D
+        # Combine each segment's m strided chunks into ONE contiguous
+        # [R, LC] run with STATIC-offset adds (fusible, no dynamic
+        # ops), vectorized over all segments at once.
+        comb = jnp.zeros((n_seg, R, LC), jnp.float32)
+        for r in range(m):
+            chunk = w_sm[:, :, :, r * D : (r + 1) * D].transpose(
+                0, 2, 1, 3
+            ).reshape(n_seg, R, L)
+            comb = comb.at[:, :, r * D : r * D + L].add(chunk)
 
-        def fwd_seg(ssum, seg_in):
-            off, w = seg_in  # off scalar; w [seg_tiles, R, W]
-            comb = jnp.zeros((R, LC), jnp.float32)
-            for r in range(m):
-                chunk = w[:, :, r * D : (r + 1) * D].transpose(
-                    1, 0, 2
-                ).reshape(R, L)
-                comb = comb.at[:, r * D : r * D + L].add(chunk)
-            o = off.astype(jnp.int32)
-            seg = lax.dynamic_slice(ssum, (jnp.int32(0), o), (R, LC))
-            ssum = lax.dynamic_update_slice(
-                ssum, seg + comb, (jnp.int32(0), o)
-            )
-            return ssum, None
-
-        # initial carry derives from a varying input (0 * xs broadcast)
-        # so its varying-manual-axes match the scanned operands when the
-        # fns run inside shard_map (axis-name-agnostic; scan-vma rule)
-        ssum = jnp.zeros((R, n_pad), jnp.float32) + 0.0 * xs_pad[:, :1]
-        ssum, _ = lax.scan(fwd_seg, ssum, (anchors_a, w_sm))
+        # window -> node: one dense one-hot placement dot over whole
+        # D-rows (anchors are D-grid-aligned; see _placement).  This
+        # replaced the r3 lax.scan whose per-segment dynamic
+        # slice+update pairs cost ~7 us each (~6.4 ms at 489 segments).
+        # comb [n_seg, R, LC] -> rows [n_seg*rps, R*D]: row i of seg s
+        # holds comb[s, :, i*D:(i+1)*D] for every R
+        rows = comb.reshape(n_seg, R, rps, D).transpose(
+            0, 2, 1, 3
+        ).reshape(n_seg * rps, R * D)
+        P = _placement(anchors_a)
+        ssum_rows = lax.dot_general(
+            P, rows,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=HIGH,
+        )                                        # [n_rows, R*D]
+        ssum = ssum_rows.reshape(n_rows, R, D).transpose(1, 0, 2).reshape(
+            R, n_pad
+        )
         # exact element fallback for out-of-band steps (sentinel points
         # at a padded zero slot / node slot N)
         ssum = ssum.at[:, OFF + oob_nodes_a].add(xs_pad[:, oob_steps_a])
@@ -436,29 +471,34 @@ def make_grid_fns(
 
         sel_hi, oh_lo = _one_hots(lidx_a)
 
-        # node -> window fetch: scan over segments, windows stacked as
-        # scan OUTPUTS in segment-major layout ([n_seg, SL, R, W] is a
-        # bitcast of the [g_pad, R, Wh, LANE] shape the dot consumes
-        # with its batch on dim 0) — ONE dynamic fetch of the whole
-        # [R, L + (m-1)D] node run per segment, no carry update (see
-        # fwd_seg comment).  The 0 * xs2 term pins the scan outputs'
-        # varying-manual-axes to the per-shard axis (anchors are
-        # varying; x_ext may be a psum output, which is invariant).
-        LC = L + (m - 1) * D
-        vma_pin = 0.0 * xs2[:1, :1].astype(jnp.float32).reshape(1, 1, 1)
-
-        def bwd_seg(_, off):
-            ext = lax.dynamic_slice(
-                x_ext, (jnp.int32(0), off.astype(jnp.int32)), (R, LC)
-            )
-            parts = [
-                ext[:, r * D : r * D + L].reshape(R, seg_tiles, D)
-                for r in range(m)
-            ]
-            blk = jnp.concatenate(parts, axis=2)      # [R, SL, W]
-            return None, blk.transpose(1, 0, 2) + vma_pin
-
-        _, xw_sm = lax.scan(bwd_seg, None, anchors_a)  # [n_seg, SL, R, W]
+        # node -> window fetch: transpose of the fwd placement — one
+        # dense dot pulls every segment's [R, LC] node run out of the
+        # row-major node buffer (replaced the r3 per-segment
+        # dynamic_slice scan; ~7 us/op).  The 0 * xs2 term pins the
+        # result's varying-manual-axes to the per-shard axis under
+        # shard_map (anchors are varying; x_ext may be a psum output,
+        # which is invariant).
+        P = _placement(anchors_a)
+        x_rows = x_ext.reshape(R, n_rows, D).transpose(1, 0, 2).reshape(
+            n_rows, R * D
+        )
+        fetch = lax.dot_general(
+            P, x_rows,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=HIGH,
+        )                                        # [n_seg*rps, R*D]
+        comb = fetch.reshape(n_seg, rps, R, D).transpose(
+            0, 2, 1, 3
+        ).reshape(n_seg, R, LC)
+        parts = [
+            comb[:, :, r * D : r * D + L].reshape(n_seg, R, seg_tiles, D)
+            for r in range(m)
+        ]
+        blk = jnp.concatenate(parts, axis=3)     # [n_seg, R, SL, W]
+        xw_sm = blk.transpose(0, 2, 1, 3) + (
+            0.0 * xs2[:1, :1].astype(jnp.float32).reshape(1, 1, 1, 1)
+        )                                        # [n_seg, SL, R, W]
 
         e = lax.dot_general(
             xw_sm.reshape(g_pad, R, Wh, _LANE), oh_lo,

@@ -45,7 +45,8 @@ from ..index import PathIndex
 from ..params import PathSGDParams
 from .fastpow import zeta_table
 from .schedule import eta_schedule
-from .sweep_common import auto_sweep_config, phase_structure
+from .sweep_common import (auto_sweep_config, fit_consensus_period,
+                           phase_structure)
 
 __all__ = ["offset_set", "build_sweep_runner", "path_linear_sgd_sweep", "path_sgd_sort_sweep"]
 
@@ -227,6 +228,12 @@ def build_sweep_runner(
     sweep_eta = np.repeat(etas, spi)
     sweep_cool = np.repeat(np.arange(params.iter_max + 1) > params.first_cooling_iteration, spi)
     n_sweeps = len(sweep_eta)
+    # minimize the whole-period execution padding (see
+    # sweep_common.fit_consensus_period): periods run fully with the
+    # sweep index clamped, so fit ce to the schedule length
+    consensus_every = fit_consensus_period(
+        n_sweeps, consensus_every, len(phase_offsets)
+    )
     etas_j = jnp.asarray(sweep_eta, dtype=fdt)
     cool_j = jnp.asarray(sweep_cool)
 
@@ -516,6 +523,10 @@ def build_applied_counter(
     updates_per_sweep = max(1, int(S * active_frac))
     spi = max(1, -(-params.min_term_updates // updates_per_sweep))
     n_sweeps = (params.iter_max + 1) * spi
+    # must mirror the engine's period fit exactly (same key schedule)
+    consensus_every = fit_consensus_period(
+        n_sweeps, consensus_every, len(phase_offsets)
+    )
     sweep_cool = np.repeat(
         np.arange(params.iter_max + 1) > params.first_cooling_iteration, spi
     )

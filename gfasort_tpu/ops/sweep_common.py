@@ -27,7 +27,25 @@ import numpy as np
 from .fastpow import fast_precise_pow as _fpp_host
 
 __all__ = ["make_offset_sampler", "INACTIVE", "auto_rotate",
-           "auto_sweep_config", "phase_structure", "LARGE_S"]
+           "auto_sweep_config", "phase_structure", "fit_consensus_period",
+           "LARGE_S"]
+
+
+def fit_consensus_period(n_sweeps: int, ce: int, n_phase: int) -> int:
+    """Shrink the consensus period so the EXECUTED schedule overshoots
+    the nominal one minimally.  The engines run whole periods with the
+    sweep index clamped (the terminal-eta padding convention), so a
+    101-sweep CLI schedule at ce=96 would execute 2 x 96 = 192 sweeps
+    (+90% device work); fitting ce to ceil(101/2) -> 60 (rounded up to
+    whole rotations) executes 120 instead, with the same period count.
+    More-frequent consensus has certified fine at every period probed,
+    so this only trades padded terminal-eta work for an extra mid-run
+    consensus or two."""
+    ce = max(int(ce), 1)
+    n_periods = -(-n_sweeps // ce)
+    ce_fit = -(-n_sweeps // n_periods)
+    ce_fit = -(-ce_fit // n_phase) * n_phase
+    return min(ce, max(ce_fit, 1))
 
 
 def phase_structure(offs: np.ndarray, rotate, consensus_every: int):

@@ -27,7 +27,8 @@ from ..params import LayoutSGDParams
 from .fastpow import zeta_table
 from .schedule import eta_schedule
 from .sweep import offset_set
-from .sweep_common import auto_sweep_config, phase_structure
+from .sweep_common import (auto_sweep_config, fit_consensus_period,
+                           phase_structure)
 
 __all__ = [
     "build_sweep_nd_runner",
@@ -225,6 +226,12 @@ def build_sweep_nd_runner(
         np.arange(params.iter_max + 1) > params.first_cooling_iteration, spi
     )
     n_sweeps = len(sweep_eta)
+    # minimize the whole-period execution padding (see
+    # sweep_common.fit_consensus_period): periods run fully with the
+    # sweep index clamped, so fit ce to the schedule length
+    consensus_every = fit_consensus_period(
+        n_sweeps, consensus_every, len(phase_offsets)
+    )
     etas_j = jnp.asarray(sweep_eta, dtype=fdt)
     cool_j = jnp.asarray(sweep_cool)
 

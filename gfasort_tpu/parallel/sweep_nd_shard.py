@@ -30,7 +30,8 @@ from ..params import LayoutSGDParams
 from ..ops.fastpow import zeta_table
 from ..ops.schedule import eta_schedule
 from ..ops.sweep import offset_set
-from ..ops.sweep_common import auto_sweep_config, phase_structure
+from ..ops.sweep_common import (auto_sweep_config, fit_consensus_period,
+                                phase_structure)
 from ..ops.sweep_nd import make_nd_sweep_fn
 from .mesh import default_mesh
 from .sweep_shard import _shard_arrays, _shard_grid_plans
@@ -131,6 +132,12 @@ def build_sharded_sweep_nd(
         np.arange(params.iter_max + 1) > params.first_cooling_iteration, spi
     )
     n_sweeps = len(sweep_eta)
+    # minimize the whole-period execution padding (see
+    # sweep_common.fit_consensus_period): periods run fully with the
+    # sweep index clamped, so fit ce to the schedule length
+    consensus_every = fit_consensus_period(
+        n_sweeps, consensus_every, len(phase_offsets)
+    )
     etas_j = jnp.asarray(sweep_eta, dtype=fdt)
     cool_j = jnp.asarray(sweep_cool)
 
