@@ -314,7 +314,7 @@ class GridConsensus:
 
 def make_grid_fns(
     S: int, n_nodes: int, tile: int, seg_tiles: int, D: int, W: int,
-    n_seg: int,
+    n_seg: int, rows: int = 1,
 ):
     """Build the (fwd, bwd) device functions for a grid geometry.  All
     per-graph data (lidx, anchors, oob tables) are runtime arguments,
@@ -331,7 +331,7 @@ def make_grid_fns(
     N = int(n_nodes)
     T = int(tile)
     g = -(-S // T)
-    Wh = W // _LANE
+
     m = W // D
     L = seg_tiles * D  # per-segment window span at stride D
     # The one-hot/dot stage runs over WHOLE segments (g padded to
@@ -365,18 +365,40 @@ def make_grid_fns(
         "default": jax.lax.Precision.DEFAULT,
     }[_os.environ.get("GFASORT_GC_PRECISION", "highest")]
 
+    # lo-factor width of the window-index split li = hi*LO + lo.  64,
+    # NOT the 128 lane width: measured 7-10x faster for the window
+    # reduction dot at IDENTICAL exactness (relerr 9.6e-8 vs the f64
+    # reference for both; scratch/gc_dot_probe.py: L128 9.8 ms, L64
+    # 1.38 ms, L32 1.45 ms at S=4M) — the [.., T, 128]-minor one-hot
+    # operand apparently hits a pathological layout/pass structure in
+    # the f32 HIGHEST dot that the 64-minor factor avoids, and M=Wh
+    # doubles (32 -> 64) toward the MXU's 128 rows.
+    # ...for MULTI-row inputs (nD layout, R=2D) the bwd expansion
+    # tensor e [g_pad, R, W/LO, T] doubles with 1/LO and the traffic
+    # loss beats the dot win (2D layout measured 645 -> 584 M/s at
+    # LO=64), so wide-R builds keep 128.
+    _lo_default = 64 if rows <= 2 else 128
+    LO = int(_os.environ.get("GFASORT_GC_LANE", _lo_default))
+    LO_SH = {128: 7, 64: 6, 32: 5}[LO]
+    Whl = W // LO
+    # window<->node merge strategy, also rows-aware (see the branch
+    # comments in fwd/bwd): placement dots for narrow R, scans for
+    # wide R.  GFASORT_GC_MERGE={auto,dot,scan} overrides.
+    _merge = _os.environ.get("GFASORT_GC_MERGE", "auto")
+    use_placement = {"auto": rows <= 2, "dot": True, "scan": False}[_merge]
+
     def _one_hots(lidx_a):
         # pad [g, T] -> [g_pad, T] with -1 (dead): pad tiles select
         # nothing in either one-hot factor
         lidx_p = jnp.full((g_pad, T), -1, jnp.int32).at[:g].set(lidx_a)
-        hi_i = lidx_p >> 7                       # [g_pad, T]; -1 dead/oob
-        lo_i = lidx_p & (_LANE - 1)
-        iota_hi = lax.broadcasted_iota(jnp.int32, (g_pad, Wh, T), 1)
-        iota_lo = lax.broadcasted_iota(jnp.int32, (g_pad, T, _LANE), 2)
-        sel_hi = hi_i[:, None, :] == iota_hi     # [g_pad, Wh, T] bool
+        hi_i = lidx_p >> LO_SH                   # [g_pad, T]; -1 dead/oob
+        lo_i = lidx_p & (LO - 1)
+        iota_hi = lax.broadcasted_iota(jnp.int32, (g_pad, Whl, T), 1)
+        iota_lo = lax.broadcasted_iota(jnp.int32, (g_pad, T, LO), 2)
+        sel_hi = hi_i[:, None, :] == iota_hi     # [g_pad, Whl, T] bool
         oh_lo = (
             (lo_i[:, :, None] == iota_lo) & (lidx_p[:, :, None] >= 0)
-        ).astype(jnp.float32)                    # [g_pad, T, LANE]
+        ).astype(jnp.float32)                    # [g_pad, T, LO]
         return sel_hi, oh_lo
 
     def _placement(anchors_a):
@@ -420,39 +442,66 @@ def make_grid_fns(
             dimension_numbers=(((3,), (1,)), ((1,), (0,))),
             preferred_element_type=jnp.float32,
             precision=HIGH,
-        )                                         # [g_pad, R, Wh, LANE]
+        )                                         # [g_pad, R, Whl, LO]
         # segment-major view: a bitcast of the dot output, no transpose
         w_sm = wsum.reshape(n_seg, seg_tiles, R, W)
 
-        # Combine each segment's m strided chunks into ONE contiguous
-        # [R, LC] run with STATIC-offset adds (fusible, no dynamic
-        # ops), vectorized over all segments at once.
-        comb = jnp.zeros((n_seg, R, LC), jnp.float32)
-        for r in range(m):
-            chunk = w_sm[:, :, :, r * D : (r + 1) * D].transpose(
-                0, 2, 1, 3
-            ).reshape(n_seg, R, L)
-            comb = comb.at[:, :, r * D : r * D + L].add(chunk)
+        if use_placement:
+            # Combine each segment's m strided chunks into ONE
+            # contiguous [R, LC] run with STATIC-offset adds (fusible,
+            # no dynamic ops), vectorized over all segments at once.
+            comb = jnp.zeros((n_seg, R, LC), jnp.float32)
+            for r in range(m):
+                chunk = w_sm[:, :, :, r * D : (r + 1) * D].transpose(
+                    0, 2, 1, 3
+                ).reshape(n_seg, R, L)
+                comb = comb.at[:, :, r * D : r * D + L].add(chunk)
 
-        # window -> node: one dense one-hot placement dot over whole
-        # D-rows (anchors are D-grid-aligned; see _placement).  This
-        # replaced the r3 lax.scan whose per-segment dynamic
-        # slice+update pairs cost ~7 us each (~6.4 ms at 489 segments).
-        # comb [n_seg, R, LC] -> rows [n_seg*rps, R*D]: row i of seg s
-        # holds comb[s, :, i*D:(i+1)*D] for every R
-        rows = comb.reshape(n_seg, R, rps, D).transpose(
-            0, 2, 1, 3
-        ).reshape(n_seg * rps, R * D)
-        P = _placement(anchors_a)
-        ssum_rows = lax.dot_general(
-            P, rows,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=HIGH,
-        )                                        # [n_rows, R*D]
-        ssum = ssum_rows.reshape(n_rows, R, D).transpose(1, 0, 2).reshape(
-            R, n_pad
-        )
+            # window -> node: one dense one-hot placement dot over
+            # whole D-rows (anchors are D-grid-aligned; see
+            # _placement).  Replaced the r3 lax.scan whose per-segment
+            # dynamic slice+update pairs cost ~7 us each (~6.4 ms at
+            # 489 segments).  comb [n_seg, R, LC] -> rows
+            # [n_seg*rps, R*D]: row i of seg s holds
+            # comb[s, :, i*D:(i+1)*D] for every R
+            rows = comb.reshape(n_seg, R, rps, D).transpose(
+                0, 2, 1, 3
+            ).reshape(n_seg * rps, R * D)
+            P = _placement(anchors_a)
+            ssum_rows = lax.dot_general(
+                P, rows,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=HIGH,
+            )                                    # [n_rows, R*D]
+            ssum = ssum_rows.reshape(n_rows, R, D).transpose(
+                1, 0, 2
+            ).reshape(R, n_pad)
+        else:
+            # wide-R (nD layout): the placement dot's FLOPs scale with
+            # R·D·n_rows and overtake the scan it replaces (2D layout
+            # measured 645 -> 601 M/s); keep the r3 scan — 2 dynamic
+            # ops per segment, R-independent.
+            def fwd_seg(ssum, seg_in):
+                off, w = seg_in  # off scalar; w [seg_tiles, R, W]
+                comb = jnp.zeros((R, LC), jnp.float32)
+                for r in range(m):
+                    chunk = w[:, :, r * D : (r + 1) * D].transpose(
+                        1, 0, 2
+                    ).reshape(R, L)
+                    comb = comb.at[:, r * D : r * D + L].add(chunk)
+                o = off.astype(jnp.int32)
+                seg = lax.dynamic_slice(ssum, (jnp.int32(0), o), (R, LC))
+                ssum = lax.dynamic_update_slice(
+                    ssum, seg + comb, (jnp.int32(0), o)
+                )
+                return ssum, None
+
+            # initial carry derives from a varying input (0 * xs
+            # broadcast) so its varying-manual-axes match the scanned
+            # operands under shard_map (scan-vma rule)
+            ssum = jnp.zeros((R, n_pad), jnp.float32) + 0.0 * xs_pad[:, :1]
+            ssum, _ = lax.scan(fwd_seg, ssum, (anchors_a, w_sm))
         # exact element fallback for out-of-band steps (sentinel points
         # at a padded zero slot / node slot N)
         ssum = ssum.at[:, OFF + oob_nodes_a].add(xs_pad[:, oob_steps_a])
@@ -471,41 +520,60 @@ def make_grid_fns(
 
         sel_hi, oh_lo = _one_hots(lidx_a)
 
-        # node -> window fetch: transpose of the fwd placement — one
-        # dense dot pulls every segment's [R, LC] node run out of the
-        # row-major node buffer (replaced the r3 per-segment
-        # dynamic_slice scan; ~7 us/op).  The 0 * xs2 term pins the
-        # result's varying-manual-axes to the per-shard axis under
-        # shard_map (anchors are varying; x_ext may be a psum output,
-        # which is invariant).
-        P = _placement(anchors_a)
-        x_rows = x_ext.reshape(R, n_rows, D).transpose(1, 0, 2).reshape(
-            n_rows, R * D
-        )
-        fetch = lax.dot_general(
-            P, x_rows,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=HIGH,
-        )                                        # [n_seg*rps, R*D]
-        comb = fetch.reshape(n_seg, rps, R, D).transpose(
-            0, 2, 1, 3
-        ).reshape(n_seg, R, LC)
-        parts = [
-            comb[:, :, r * D : r * D + L].reshape(n_seg, R, seg_tiles, D)
-            for r in range(m)
-        ]
-        blk = jnp.concatenate(parts, axis=3)     # [n_seg, R, SL, W]
-        xw_sm = blk.transpose(0, 2, 1, 3) + (
-            0.0 * xs2[:1, :1].astype(jnp.float32).reshape(1, 1, 1, 1)
-        )                                        # [n_seg, SL, R, W]
+        # The 0 * xs2 vma-pin term pins the fetched windows'
+        # varying-manual-axes to the per-shard axis under shard_map
+        # (anchors are varying; x_ext may be a psum output, which is
+        # invariant).
+        vma_pin = 0.0 * xs2[:1, :1].astype(jnp.float32)
+        if use_placement:
+            # node -> window fetch: transpose of the fwd placement —
+            # one dense dot pulls every segment's [R, LC] node run out
+            # of the row-major node buffer (replaced the r3
+            # per-segment dynamic_slice scan; ~7 us/op).
+            P = _placement(anchors_a)
+            x_rows = x_ext.reshape(R, n_rows, D).transpose(
+                1, 0, 2
+            ).reshape(n_rows, R * D)
+            fetch = lax.dot_general(
+                P, x_rows,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=HIGH,
+            )                                    # [n_seg*rps, R*D]
+            comb = fetch.reshape(n_seg, rps, R, D).transpose(
+                0, 2, 1, 3
+            ).reshape(n_seg, R, LC)
+            parts = [
+                comb[:, :, r * D : r * D + L].reshape(
+                    n_seg, R, seg_tiles, D
+                )
+                for r in range(m)
+            ]
+            blk = jnp.concatenate(parts, axis=3)  # [n_seg, R, SL, W]
+            xw_sm = blk.transpose(0, 2, 1, 3) + vma_pin.reshape(1, 1, 1, 1)
+        else:
+            # wide-R: r3 scan fetch (see fwd's rationale)
+            def bwd_seg(_, off):
+                ext = lax.dynamic_slice(
+                    x_ext, (jnp.int32(0), off.astype(jnp.int32)), (R, LC)
+                )
+                parts = [
+                    ext[:, r * D : r * D + L].reshape(R, seg_tiles, D)
+                    for r in range(m)
+                ]
+                blk = jnp.concatenate(parts, axis=2)  # [R, SL, W]
+                return None, blk.transpose(1, 0, 2) + vma_pin.reshape(
+                    1, 1, 1
+                )
+
+            _, xw_sm = lax.scan(bwd_seg, None, anchors_a)
 
         e = lax.dot_general(
-            xw_sm.reshape(g_pad, R, Wh, _LANE), oh_lo,
+            xw_sm.reshape(g_pad, R, Whl, LO), oh_lo,
             dimension_numbers=(((3,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
             precision=HIGH,
-        )                                         # [g_pad, R, Wh, T]
+        )                                         # [g_pad, R, Whl, T]
         xs_new = jnp.sum(
             jnp.where(sel_hi[:, None], e, 0.0), axis=2
         ).transpose(1, 0, 2).reshape(R, S_pad)
@@ -532,6 +600,7 @@ def build_grid_consensus(
     seg_tiles: int = 32,
     max_window: int = 4096,
     dtype=np.float32,
+    rows: int = 1,              # expected R (one-hot lane-split policy)
 ):
     """Build the grid consensus for a static step->node map.  Check
     ``coverage`` to decide whether to use it (see ops/sweep.py)."""
@@ -553,7 +622,8 @@ def build_grid_consensus(
     cnt = np.bincount(step_node.astype(np.int64), minlength=N).astype(np.float64)
     inv_cnt_np = (1.0 / np.maximum(cnt, 1.0)).astype(dtype)
 
-    fwd, bwd, n_pad = make_grid_fns(S, N, T, seg_tiles, D, W, n_seg)
+    fwd, bwd, n_pad = make_grid_fns(S, N, T, seg_tiles, D, W, n_seg,
+                                    rows=rows)
 
     arrays = (
         jnp.asarray(plan.lidx),

@@ -71,7 +71,7 @@ class SweepResult:
 
 
 def select_consensus(step_node: np.ndarray, n_nodes: int, dtype,
-                     path_of_step=None):
+                     path_of_step=None, rows: int = 1):
     """Pick the node-consensus implementation for a step->node map.
 
     The grid consensus (ops/grid_consensus.py, ~15 ms at S=4M) needs
@@ -92,7 +92,8 @@ def select_consensus(step_node: np.ndarray, n_nodes: int, dtype,
         from .grid_consensus import build_grid_consensus
 
         gx = build_grid_consensus(
-            step_node, n_nodes, path_of_step=path_of_step, dtype=dtype
+            step_node, n_nodes, path_of_step=path_of_step, dtype=dtype,
+            rows=rows,
         )
         good = (
             gx.fn is not None

@@ -258,7 +258,8 @@ def build_sweep_nd_runner(
     from .sweep import select_consensus
     from .grid_consensus import GridConsensus
 
-    gcx = select_consensus(pidx.step_node_idx, N, dtype, pidx.step_path)
+    gcx = select_consensus(pidx.step_node_idx, N, dtype, pidx.step_path,
+                           rows=2 * D)
     use_grid = isinstance(gcx, GridConsensus)
 
     if use_grid:

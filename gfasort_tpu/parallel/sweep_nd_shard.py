@@ -71,7 +71,7 @@ def build_sharded_sweep_nd(
     pos_np, rank_np, cnt_np, node_np, path_np, L = _shard_arrays(
         pidx, ndev, dtype
     )
-    grid = _shard_grid_plans(node_np, path_np, N, L, dtype)
+    grid = _shard_grid_plans(node_np, path_np, N, L, dtype, rows=2 * D)
 
     # per-shard rev / node-length rows (dead slots: rev 0, len 0)
     rev_np = np.zeros((ndev, L), dtype=np.int32)

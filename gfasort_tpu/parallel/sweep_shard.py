@@ -95,7 +95,7 @@ def _shard_arrays(pidx: PathIndex, n_shards: int, dtype):
     return pos, rank, cnt, node, path, L
 
 
-def _shard_grid_plans(node_np, path_np, N, L, dtype):
+def _shard_grid_plans(node_np, path_np, N, L, dtype, rows: int = 1):
     """Grid-consensus plans for every shard on one shared geometry, or
     None when locality is poor (see ops/sweep.select_consensus).  All
     shards share (T, SL, D, W, n_seg, n_oob_pad) so one shard_map
@@ -145,7 +145,7 @@ def _shard_grid_plans(node_np, path_np, N, L, dtype):
                         np.full(n_oob_pad - len(p.oob_nodes), N, np.int32)])
         for p in plans
     ])
-    fwd, bwd, n_pad = make_grid_fns(L, N, T, SL, D, W, n_seg)
+    fwd, bwd, n_pad = make_grid_fns(L, N, T, SL, D, W, n_seg, rows=rows)
     return {
         "fwd": fwd, "bwd": bwd, "off": SL * D, "coverage": coverage,
         "arrays": (lidx, anchors, oob_s, oob_n), "window": W, "stride": D,
