@@ -242,7 +242,7 @@ V5E_VPU_OPS_S = 3.85e12
 
 
 def roofline_model(rate: float, info: dict, applied_frac: float,
-                   consensus_ms: float = 21.0) -> dict:
+                   consensus_ms: float = 12.5) -> dict:
     """HBM-bytes and VPU-ops accounting for the 1D sweep engine at a
     measured ``rate`` (pair-proposals/s/chip) — VERDICT r3 task 2.
 

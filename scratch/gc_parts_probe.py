@@ -13,7 +13,13 @@ production (T=256):
 Round-3 finding to beat: total cost is NOT the MXU dots (precision
 HIGH saved only 2%); candidates are the [g,Wh,T]-sized masked operand
 materialization, the [g,W] window buffers, and the per-segment
-dynamic slices (~7 us each)."""
+dynamic slices (~7 us each).
+
+r4 NOTE: parts 1-2 ("one-hot build", "fwd dot") reimplement the OLD
+128-lane one-hot locally and no longer match production (which uses
+the rows-aware 64-lane split + placement-dot merge, 12.5 ms total —
+scratch/gc_dot_probe.py has the lane A/B).  The "fwd full"/"bwd
+full"/"fn" rows call production code and stay meaningful."""
 import sys
 import time
 
