@@ -46,7 +46,7 @@ from ..params import PathSGDParams
 from .fastpow import zeta_table
 from .schedule import eta_schedule
 from .sweep_common import (auto_sweep_config, fit_consensus_period,
-                           phase_structure)
+                           phase_structure, sweep_rng)
 
 __all__ = ["offset_set", "build_sweep_runner", "path_linear_sgd_sweep", "path_sgd_sort_sweep"]
 
@@ -262,9 +262,7 @@ def build_sweep_runner(
         def sweep(xs, key, eta, cooling, pos, rank_arr, cnt_arr, *dks):
             """One sweep: each step proposes one signed offset bucket;
             for every bucket, apply the masked pair update via rolls."""
-            k1, k2 = jax.random.split(key, 2)
-            bits = jax.random.bits(k1, (S,), jnp.uint32)
-            u = jax.random.uniform(k2, (S,), dtype=fdt)
+            bits, u = sweep_rng(key, S, fdt)
             sidx = sample_block(bits, u, cooling, rank_arr, cnt_arr, active_frac)
 
             # IMPORTANT: every roll below applies to an INPUT array only.
@@ -559,9 +557,7 @@ def build_applied_counter(
                 idx = j * n_phase + rr
                 r = jnp.minimum(idx, n_sweeps - 1)
                 key = jax.random.fold_in(base_key, idx)
-                k1, k2 = jax.random.split(key, 2)
-                bits = jax.random.bits(k1, (S,), jnp.uint32)
-                u = jax.random.uniform(k2, (S,), dtype=fdt)
+                bits, u = sweep_rng(key, S, fdt)
                 sidx = samplers[rr](
                     bits, u, cool_j[r], rank_a, cnt_a, active_frac
                 )

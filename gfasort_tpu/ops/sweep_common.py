@@ -28,7 +28,52 @@ from .fastpow import fast_precise_pow as _fpp_host
 
 __all__ = ["make_offset_sampler", "INACTIVE", "auto_rotate",
            "auto_sweep_config", "phase_structure", "fit_consensus_period",
-           "LARGE_S"]
+           "sweep_rng", "LARGE_S"]
+
+
+def sweep_rng(key, S: int, fdt, mode: str | None = None):
+    """Per-sweep randomness for the sweep engines: (bits u32 [S],
+    u in [0,1) [S]).
+
+    Default mode ``hash``: two murmur3-finalizer streams over the lane
+    counter, keyed by the (per-sweep, threefry-folded) key's words —
+    measured ~free vs 0.151 ms/sweep for the threefry pair at S=4M
+    (~6% of the whole sweep budget; the engine is VPU-compute-bound,
+    docs/DESIGN.md §8).  The reference itself samples from a
+    deterministic sequential stream (Xoshiro256Plus, src/sgd.rs:429);
+    a counter-based finalizer hash is the TPU-idiomatic equivalent,
+    and the bench certifies the exact shipped configuration against
+    the bit-exact oracle every run.  ``GFASORT_SWEEP_RNG=threefry``
+    restores jax.random draws (always used for f64 runs)."""
+    import os
+
+    import jax
+    import jax.lax as lax
+    import jax.numpy as jnp
+
+    if mode is None:
+        mode = os.environ.get("GFASORT_SWEEP_RNG", "hash")
+    if mode == "threefry" or fdt == jnp.float64:
+        k1, k2 = jax.random.split(key, 2)
+        return (jax.random.bits(k1, (S,), jnp.uint32),
+                jax.random.uniform(k2, (S,), dtype=fdt))
+    kd = jax.random.key_data(key).astype(jnp.uint32).reshape(-1)
+    b1 = kd[-1]
+    b2 = kd[-2] if kd.shape[0] > 1 else kd[-1] ^ jnp.uint32(0xDEADBEEF)
+    i = lax.iota(jnp.uint32, S)
+
+    def mix(x):
+        x = x * jnp.uint32(0x9E3779B9)
+        x = x ^ (x >> 16)
+        x = x * jnp.uint32(0x85EBCA6B)
+        x = x ^ (x >> 13)
+        x = x * jnp.uint32(0xC2B2AE35)
+        return x ^ (x >> 16)
+
+    bits = mix(i + b1)
+    u_bits = mix((i ^ jnp.uint32(0x632BE59B)) + b2)
+    u = (u_bits >> 8).astype(fdt) * fdt(2.0**-24)
+    return bits, u
 
 
 def fit_consensus_period(n_sweeps: int, ce: int, n_phase: int) -> int:

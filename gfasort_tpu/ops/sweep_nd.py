@@ -47,7 +47,7 @@ def make_nd_sweep_fn(offs_p, S, D, params, zetas, fdt, active_frac,
     import jax
     import jax.numpy as jnp
 
-    from .sweep_common import make_offset_sampler
+    from .sweep_common import make_offset_sampler, sweep_rng
     from .sweep_dense import (
         build_dense_apply_nd,
         dense_kernel_enabled,
@@ -80,10 +80,8 @@ def make_nd_sweep_fn(offs_p, S, D, params, zetas, fdt, active_frac,
         an [S] row, so the TPU's 128-wide lanes stay fully packed —
         the original [S, 2, D] layout put D (2-3) in the minor
         dimension and ran ~30x below elementwise peak."""
-        k1, k2 = jax.random.split(key, 2)
-        bits = jax.random.bits(k1, (S,), jnp.uint32)
+        bits, u = sweep_rng(key, S, fdt)
         other_end_self = ((bits >> 29) & 1) == 1   # end coin for me
-        u = jax.random.uniform(k2, (S,), dtype=fdt)
         sidx = sample_block(bits, u, cooling, rank_a, cnt_a, active_frac)
 
         # per-term end choice for EACH endpoint: the reference flips a

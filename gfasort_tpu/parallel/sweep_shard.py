@@ -260,8 +260,9 @@ def build_sharded_sweep(
             served = set()
 
         def local_sweep(xs, key, eta, cooling, pos, rank_a, cnt_a):
-            bits = jax.random.bits(key, (L,), jnp.uint32)
-            u = jax.random.uniform(jax.random.fold_in(key, 1), (L,), dtype=fdt)
+            from ..ops.sweep_common import sweep_rng
+
+            bits, u = sweep_rng(key, L, fdt)
             sidx = sample_block(bits, u, cooling, rank_a, cnt_a, active_frac)
 
             iota = jax.lax.iota(jnp.int32, L)
