@@ -132,3 +132,29 @@ def test_plan_grid_shard_padding():
     assert plan.oob_steps.shape == (8192,)
     # sentinel entries point at the padded zero slot
     assert plan.oob_steps[-1] == plan.S_pad
+
+
+@pytest.mark.parametrize("merge", ["dot", "scan"])
+@pytest.mark.parametrize("lane", ["64", "128"])
+def test_merge_and_lane_variants_agree(monkeypatch, merge, lane):
+    """Both window->node merge strategies (placement dot / segment
+    scan) and both one-hot lane splits must match the exact
+    scatter-mean — they are selected rows-aware for speed only (r4)."""
+    monkeypatch.setenv("GFASORT_GC_MERGE", merge)
+    monkeypatch.setenv("GFASORT_GC_LANE", lane)
+    step_node, step_path = walk_workload(5_000, 4, 4_000, seed=3)
+    gc = build_grid_consensus(step_node, 5_000, path_of_step=step_path)
+    assert gc.fn is not None
+    xs = np.random.default_rng(2).random(len(step_node)).astype(np.float32) * 1e5
+    xs_ref, xn_ref, cnt = ref_consensus(step_node, xs, 5_000)
+    xs_new, x_node = jax.jit(lambda x: gc.fn(x, *gc.arrays))(jnp.asarray(xs))
+    np.testing.assert_allclose(np.asarray(xs_new), xs_ref, rtol=2e-6)
+    np.testing.assert_allclose(
+        np.asarray(x_node)[cnt > 0], xn_ref[cnt > 0], rtol=2e-6
+    )
+    # multi-row too (the nD layout path)
+    xs4 = np.random.default_rng(4).random((4, len(step_node))).astype(np.float32)
+    out4, xn4 = jax.jit(lambda x: gc.fn(x, *gc.arrays))(jnp.asarray(xs4))
+    for r in range(4):
+        r_ref, n_ref, _ = ref_consensus(step_node, xs4[r], 5_000)
+        np.testing.assert_allclose(np.asarray(out4)[r], r_ref, rtol=2e-5)
