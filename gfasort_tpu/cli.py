@@ -110,11 +110,13 @@ def _enable_compile_cache():
             )
         else:
             log(
-                "[gfasort] compile cache: no new local entries "
-                "(NOTE: remote axon-backend compiles bypass this local "
-                "cache entirely — they are cached terminal-side and may "
-                "still have been cold; the per-step timings above are "
-                "the ground truth)"
+                "[gfasort] compile cache: no new local entries — every "
+                "program hit the persistent cache (NOTE: on the remote "
+                "backend a hit can still pay an executable load/"
+                "validation cost, measured ~25 s at engine sizes and "
+                "erratic when the shared terminal-side cache evicts; "
+                "the per-step timings above are the ground truth — "
+                "ROUND4_NOTES.md, compile-floor section)"
             )
 
     return report
