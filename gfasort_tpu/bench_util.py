@@ -257,7 +257,8 @@ def roofline_model(rate: float, info: dict, applied_frac: float,
         dsum/csum read+write (16)                                = 32 + 8·n_xla
       * combine: read xs/dsum/csum, write xs                     = 16
     VPU ops (f32 pass counts):
-      * sampler (threefry bits ~90, zipf ~80, masks/snap ~50)   ~= 220
+      * sampler (murmur hash RNG ~25, zipf incl. const
+        where-trees ~80, masks/exact snap ~50)                 ~= 155
       * fused kernel ~35/half -> 70 per bucket                  ~= 70·n_kern
       * XLA bucket ~25/half (d read, not recomputed)            ~= 50·n_xla
       * combine (div + add)                                     ~= 10
@@ -273,7 +274,7 @@ def roofline_model(rate: float, info: dict, applied_frac: float,
     frac = float(info.get("active_frac") or 1.0)
 
     bytes_pe = 12 + 20 + (32 + 8 * n_xla if n_xla else 0) + 16
-    ops_pe = 220 + 70 * n_kern + 50 * n_xla + 10
+    ops_pe = 155 + 70 * n_kern + 50 * n_xla + 10
     # rate counts proposals = S·frac/sweep; per-element costs are
     # density-independent (masked SIMD), so per-UPDATE cost = per-elem
     # cost / frac
