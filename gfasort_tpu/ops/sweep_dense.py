@@ -215,7 +215,7 @@ def build_bucket_apply(buckets, S: int, fdt, br: int = 256,
         for src, dst, sj in ((xs_hbm, xs_v, 0), (pos_hbm, pos_v, 1),
                              (sidx_hbm, sidx_v, 2)):
             cp = pltpu.make_async_copy(
-                src.at[pl.ds(r0, W), :], dst, sems.at[sj]
+                src.at[pl.ds(r0, W), :], dst, sems.at[jnp.int32(sj)]
             )
             cp.start()
             cps.append(cp)
@@ -234,7 +234,7 @@ def build_bucket_apply(buckets, S: int, fdt, br: int = 256,
         def vert(vref):
             xt = vref[:].T  # [128, W]: xt[c, j] = flat (r0+j)*128 + c
             return {
-                q: (xt if q == 0 else pltpu.roll(xt, (-q) % W, 1))
+                q: (xt if q == 0 else pltpu.roll(xt, jnp.int32((-q) % W), 1))
                 for q in sorted(qs)
             }
 
@@ -457,7 +457,7 @@ def build_dense_apply_nd(n_dense: int, S: int, D: int, fdt, br: int = 256,
         cps = []
         for sj, (src, dst) in enumerate(zip(hbm, scratch)):
             cp = pltpu.make_async_copy(
-                src.at[pl.ds(r0, W), :], dst, sems.at[sj]
+                src.at[pl.ds(r0, W), :], dst, sems.at[jnp.int32(sj)]
             )
             cp.start()
             cps.append(cp)
@@ -470,7 +470,7 @@ def build_dense_apply_nd(n_dense: int, S: int, D: int, fdt, br: int = 256,
             # see the 1D kernel's vert() comment (lane-aligned views)
             xt = vref[:].T
             return {
-                q: (xt if q == 0 else pltpu.roll(xt, (-q) % W, 1))
+                q: (xt if q == 0 else pltpu.roll(xt, jnp.int32((-q) % W), 1))
                 for q in sorted(qs)
             }
 

@@ -20,8 +20,14 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+# GFASORT_TEST_TPU=1 keeps the real backend so the TPU-gated
+# real-kernel tests (test_sweep_dense.py -k real_kernel) can run on
+# hardware; x64 must stay OFF there (Mosaic is 32-bit — i64 indices /
+# returns fail verification).  Everything else runs on the virtual
+# CPU mesh with x64 on (the f64 oracle tests need it).
+if os.environ.get("GFASORT_TEST_TPU", "0") != "1":
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
 
 import pytest  # noqa: E402
 
