@@ -117,6 +117,7 @@ def main() -> int:
         "vs_baseline": None,
         "vs_baseline_mt": None,
         "quality_mode_value": None,
+        "quality_mode_cert": None,
         "quality": None,       # throughput-cfg certification
         "cli_default": None,   # zero-kwarg auto-config cert + rate
         "nd_layout": None,     # 2D (incl. stress cert)
@@ -238,12 +239,23 @@ def main() -> int:
         err("[bench] WARNING: CLI-default certification FAILED")
     emit()
 
-    # ---- 5. quality-mode (ce=8) rate ----
+    # ---- 5. quality-mode (ce=8) rate + its own certification (every
+    # timed 1D config ships with an in-run cert) ----
     tpu_q = bench_sweep_1d(
         pidx, rounds=ROUNDS, repeats=3 if FULL else 1, **QUALITY_CFG
     )
     err(f"[bench] sweep quality mode (ce=8): {tpu_q}")
     result["quality_mode_value"] = round(tpu_q["updates_per_s"], 1)
+    qq = sweep_quality_vs_oracle(n_nodes=cn, steps_per_path=cn,
+                                 **QUALITY_CFG)
+    err(f"[bench] quality-mode certification: {qq}")
+    result["quality_mode_cert"] = {
+        "rank_mae_frac": round(qq["rank_mae_frac"], 6) if qq else None,
+        "spearman": round(qq["spearman"], 6) if qq else None,
+        "ok": bool(qq and qq["rank_mae_frac"] <= MAE_FRAC_MAX
+                   and qq["spearman"] >= SPEARMAN_MIN
+                   and tpu_q["final_finite"]),
+    }
     emit()
 
     # ---- 6-7. nD layout rates (BASELINE configs 3-4).  Rarer
