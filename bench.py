@@ -367,8 +367,12 @@ def main() -> int:
     result["roofline"] = roofline_model(
         rate=tpu_t["updates_per_s"],
         info=tpu_t,
-        applied_frac=af["applied_frac"],
+        # the headline discount: applied / scheduled proposals (the
+        # bench numerator); the exact noise-free ratio vs ACTUAL
+        # activations is reported alongside (ADVICE r4)
+        applied_frac=af["applied_vs_scheduled"],
     )
+    result["roofline"]["applied_frac_exact"] = round(af["applied_frac"], 6)
     err(f"[bench] roofline: {result['roofline']}")
     emit()
 

@@ -161,6 +161,7 @@ def bench_sweep_1d(
     pidx: PathIndex, rounds: int = 50, repeats: int = 3,
     per_octave: Optional[int] = None, consensus_every: Optional[int] = None,
     active_frac: Optional[float] = None, rotate=None,
+    dense_upto: Optional[int] = None, proposals: Optional[int] = None,
 ) -> dict:
     """Time the gather-free offset-sweep engine (throughput mode).
 
@@ -185,7 +186,8 @@ def bench_sweep_1d(
 
     run, arrays, make_state, info = build_sweep_runner(
         pidx, p, per_octave=per_octave, consensus_every=consensus_every,
-        active_frac=frac, rotate=rotate,
+        active_frac=frac, rotate=rotate, dense_upto=dense_upto,
+        proposals=proposals,
     )
     key = jax.random.key(p.seed)
 
@@ -219,6 +221,7 @@ def bench_sweep_1d(
         # r3: certified and production configs must state these
         "consensus_every_eff": info["consensus_every"],
         "rotate_eff": info["rotate"],
+        "proposals": info.get("proposals", 1),
         "consensus": info.get("consensus"),
         "consensus_coverage": (round(info["consensus_coverage"], 4)
                                if info.get("consensus_coverage") is not None
@@ -326,14 +329,23 @@ def measure_applied_frac(
     ups = max(1, int(S * frac))
     p = replace(p, iter_max=rounds - 1, min_term_updates=ups)
     count_fn, arrays, info = build_applied_counter(pidx, p, **cfg)
-    applied = int(jax.device_get(count_fn(jax.random.key(p.seed), *arrays)))
-    # denominator = EXECUTED proposals (incl. the engine's
-    # period-padding sweeps, which also run and apply updates)
+    res = count_fn(jax.random.key(p.seed), *arrays)
+    applied, proposed = res["applied"], res["proposed_actual"]
+    # scheduled denominator = EXECUTED proposals at the expected
+    # S*active_frac per sweep (incl. the engine's period-padding
+    # sweeps, which also run and apply updates); proposed is the EXACT
+    # activation count from the same replay (ADVICE r4: the expected
+    # value carries O(1/sqrt(S*frac)) binomial noise at frac < 1)
     executed = info["total_exec_sweeps"] * info["updates_per_sweep"]
     return {
         "applied": applied,
-        "proposed_executed": executed,
-        "applied_frac": applied / max(executed, 1),
+        "proposed_actual": proposed,
+        "proposed_scheduled": executed,
+        # exact: applied / actual activations, noise-free
+        "applied_frac": applied / max(proposed, 1),
+        # the headline discount: applied / the bench numerator's
+        # scheduled proposal count
+        "applied_vs_scheduled": applied / max(executed, 1),
         "total_exec_sweeps": info["total_exec_sweeps"],
         "n_sweeps": info["n_sweeps"],
     }

@@ -379,6 +379,15 @@ def make_grid_fns(
     # LO=64), so wide-R builds keep 128.
     _lo_default = 64 if rows <= 2 else 128
     LO = int(_os.environ.get("GFASORT_GC_LANE", _lo_default))
+    if LO not in (32, 64, 128):
+        raise ValueError(
+            f"GFASORT_GC_LANE={LO}: allowed values are 32, 64, 128"
+        )
+    if W % LO:
+        raise ValueError(
+            f"GFASORT_GC_LANE={LO} does not divide the consensus window "
+            f"W={W}; use a smaller lane factor or leave it unset"
+        )
     LO_SH = {128: 7, 64: 6, 32: 5}[LO]
     Whl = W // LO
     # window<->node merge strategy, also rows-aware (see the branch

@@ -41,6 +41,9 @@ class GatherConsensus:
     n_sorted: int         # NL = number of live nodes (+ big nodes)
     padded_rows: int
     to_node_order: object  # (xn_sorted, x_node_init [N]) -> x_node [N]
+    # grid-plan band coverage measured before ops/sweep.select_consensus
+    # fell back to this consensus (None when the grid was never probed)
+    coverage: float | None = None
 
 
 def build_gather_consensus(

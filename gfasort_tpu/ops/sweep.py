@@ -102,6 +102,11 @@ def select_consensus(step_node: np.ndarray, n_nodes: int, dtype,
         )
         if mode == "grid" or good:
             return gx
+        gc = build_gather_consensus(step_node, n_nodes, dtype)
+        # report the measured (rejected) band coverage so bench/info
+        # surfaces state WHY the fallback fired (ADVICE r4)
+        gc.coverage = gx.coverage
+        return gc
     return build_gather_consensus(step_node, n_nodes, dtype)
 
 
@@ -112,6 +117,8 @@ def build_sweep_runner(
     consensus_every: Optional[int] = None,
     active_frac: Optional[float] = None,
     rotate=None,
+    dense_upto: Optional[int] = None,
+    proposals: Optional[int] = None,
 ):
     """Construct the jitted sweep-engine runner once.  Returns
     (run_fn, arrays, make_state, info) where
@@ -141,13 +148,18 @@ def build_sweep_runner(
         active_frac = _auto["active_frac"]
     if rotate is None:
         rotate = _auto["rotate"]
+    if dense_upto is None:
+        dense_upto = _auto.get("dense_upto", 8)
+    if proposals is None:
+        proposals = _auto.get("proposals", 1)
+    P = max(1, int(proposals))
 
     # Jump lengths are RANKS, not bp: the reference clamps the jump to
     # the available rank range (src/sgd.rs:462, :477), so no jump can
     # exceed the longest path's step count even though ``space`` is in
     # bp (src/ygs.rs:79).
     max_jump = max(1, min(int(params.space), pidx.max_path_step_count - 1))
-    offs = offset_set(max_jump, per_octave)
+    offs = offset_set(max_jump, per_octave, dense_upto)
     K = len(offs)
 
     # Bucket rotation: a single sweep samples a rotate-x coarser
@@ -218,7 +230,11 @@ def build_sweep_runner(
     # Active fraction: resolved up front by auto_sweep_config (capped
     # at ~4 active updates per node per sweep — full-width Jacobi
     # rounds oversmooth on many-path loci, see the policy docstring).
-    updates_per_sweep = max(1, int(S * active_frac))
+    # Multi-proposal sweeps (r5): each step draws P independent
+    # proposals per sweep; the expensive per-bucket update math is
+    # shared across proposals (only the mask compares scale with P),
+    # so the engine applies ~P× the updates for ~(1+ε)× the op budget.
+    updates_per_sweep = P * max(1, int(S * active_frac))
 
     # schedule: one iteration = ceil(mtu / updates_per_sweep) sweeps
     etas = eta_schedule(
@@ -253,17 +269,23 @@ def build_sweep_runner(
             kmax = kernel_kmax()
             kbuckets = [(int(offs_p[ki]), ki) for ki in range(Kp)
                         if offs_p[ki] <= kmax]
-            bucket_apply = build_bucket_apply(kbuckets, S, fdt)
+            bucket_apply = build_bucket_apply(kbuckets, S, fdt, proposals=P)
             served = {ki for _, ki in kbuckets}
         else:
             bucket_apply = None
             served = set()
 
         def sweep(xs, key, eta, cooling, pos, rank_arr, cnt_arr, *dks):
-            """One sweep: each step proposes one signed offset bucket;
+            """One sweep: each step proposes P signed offset buckets;
             for every bucket, apply the masked pair update via rolls."""
-            bits, u = sweep_rng(key, S, fdt)
-            sidx = sample_block(bits, u, cooling, rank_arr, cnt_arr, active_frac)
+            # P independent proposal streams.  P=1 keeps the r4 key
+            # schedule exactly (no extra fold).
+            sidxs = []
+            for pi in range(P):
+                kp = key if P == 1 else jax.random.fold_in(key, pi)
+                bits, u = sweep_rng(kp, S, fdt)
+                sidxs.append(sample_block(
+                    bits, u, cooling, rank_arr, cnt_arr, active_frac))
 
             # IMPORTANT: every roll below applies to an INPUT array only.
             # Rolling a computed value (e.g. the update itself) breaks XLA
@@ -274,7 +296,7 @@ def build_sweep_runner(
             iota = jax.lax.iota(jnp.int32, S)
             if bucket_apply is not None:
                 # all buckets with offset <= KMAX in one fused pass
-                dsum, csum = bucket_apply(xs, pos, sidx, eta)
+                dsum, csum = bucket_apply(xs, pos, sidxs, eta)
             else:
                 dsum = jnp.zeros_like(xs)
                 csum = jnp.zeros_like(xs)
@@ -283,9 +305,11 @@ def build_sweep_runner(
                     continue
                 k = int(offs_p[ki])
 
-                def half(shift, w_mine, w_theirs):
+                def half(shift, pairs):
                     """Contribution received at each element from the pair
-                    (t, t+shift): dx = xs[t] - xs[t+shift].  Partner-in-path
+                    (t, t+shift): dx = xs[t] - xs[t+shift].  ``pairs`` is
+                    [(mine_p, theirs_p)] per proposal; the weight is the
+                    COUNT of proposals selecting the pair.  Partner-in-path
                     validity needs NO rank/cnt reads: the sampler only
                     emits a choice whose snapped offset fits the available
                     rank range (sweep_common.sample_block), and paths are
@@ -296,14 +320,17 @@ def build_sweep_runner(
                     zero HBM traffic)."""
                     xs_o = jnp.roll(xs, shift)
                     guard = iota < S + shift if shift < 0 else iota >= shift
-                    w_bool = w_mine | (w_theirs & guard)
+                    w = None
+                    for w_mine, w_theirs in pairs:
+                        wb = (w_mine | (w_theirs & guard)).astype(xs.dtype)
+                        w = wb if w is None else w + wb
                     if use_dk:
                         slot = off_slot[k] * 2 + (0 if shift < 0 else 1)
                         d = dks[0][slot] if len(dks) == 1 else dks[slot]
                     else:
                         d = jnp.abs(pos - jnp.roll(pos, shift))
-                    valid = w_bool & (d != 0)
-                    w = valid.astype(xs.dtype)
+                    valid = d != 0
+                    w = jnp.where(valid, w, fdt(0.0))
                     safe = jnp.where(valid, d, 1.0)
                     mu = jnp.minimum(eta / safe, 1.0)
                     dx = xs - xs_o
@@ -317,10 +344,12 @@ def build_sweep_runner(
                     return -w * r_x, w
 
                 # partner ahead of me (t+k): I chose +k, or they chose -k;
-                # all mask logic derives from rolls of the single i32 sidx
-                d1, w1 = half(-k, sidx == ki, jnp.roll(sidx, -k) == ~ki)
+                # all mask logic derives from rolls of the i32 sidx arrays
+                d1, w1 = half(-k, [(s == ki, jnp.roll(s, -k) == ~ki)
+                                   for s in sidxs])
                 # partner behind me (t-k): I chose -k, or they chose +k
-                d2, w2 = half(+k, sidx == ~ki, jnp.roll(sidx, +k) == ki)
+                d2, w2 = half(+k, [(s == ~ki, jnp.roll(s, +k) == ki)
+                                   for s in sidxs])
                 dsum = dsum + d1 + d2
                 csum = csum + w1 + w2
             return xs + dsum / jnp.maximum(csum, 1)
@@ -452,6 +481,7 @@ def build_sweep_runner(
     _kb = [sum(1 for k in po_.tolist() if k <= _kmax_v)
            for po_ in phase_offsets]
     info = {"n_sweeps": n_sweeps, "updates_per_sweep": updates_per_sweep,
+            "proposals": P,
             "active_frac": active_frac, "n_offsets": K, "rotate": rotate,
             "phase_offsets": [len(po_) for po_ in phase_offsets],
             "consensus_every": consensus_every, "dense_kernel": use_dense,
@@ -473,6 +503,8 @@ def build_applied_counter(
     consensus_every: Optional[int] = None,
     active_frac: Optional[float] = None,
     rotate=None,
+    dense_upto: Optional[int] = None,
+    proposals: Optional[int] = None,
 ):
     """Exact APPLIED pair-update counter for a sweep schedule (VERDICT
     r3 weak #5: the bench numerator counts proposals, S·active_frac per
@@ -491,9 +523,12 @@ def build_applied_counter(
     choices — zero perturbation of the timed hot loop.
 
     Returns (count_fn, arrays, info); ``count_fn(base_key, *arrays)``
-    -> int64 applied pair count over the whole executed schedule
-    (including the engine's period-padding overshoot sweeps, which do
-    run and apply updates).
+    -> ``{"applied": int, "proposed_actual": int}`` over the whole
+    executed schedule (including the engine's period-padding overshoot
+    sweeps, which do run and apply updates).  ``proposed_actual`` counts
+    the sampler's ACTUAL activations (``sidx != INACTIVE``) in the same
+    replay — the exact denominator ADVICE r4 asked for (the expected
+    ``S*active_frac`` carries binomial noise at ``active_frac < 1``).
     """
     import jax
     import jax.numpy as jnp
@@ -512,14 +547,19 @@ def build_applied_counter(
         active_frac = _auto["active_frac"]
     if rotate is None:
         rotate = _auto["rotate"]
+    if dense_upto is None:
+        dense_upto = _auto.get("dense_upto", 8)
+    if proposals is None:
+        proposals = _auto.get("proposals", 1)
+    P = max(1, int(proposals))
 
     max_jump = max(1, min(int(params.space), pidx.max_path_step_count - 1))
-    offs = offset_set(max_jump, per_octave)
+    offs = offset_set(max_jump, per_octave, dense_upto)
     phase_offsets, rotate, consensus_every = phase_structure(
         offs, rotate, consensus_every
     )
 
-    updates_per_sweep = max(1, int(S * active_frac))
+    updates_per_sweep = P * max(1, int(S * active_frac))
     spi = max(1, -(-params.min_term_updates // updates_per_sweep))
     n_sweeps = (params.iter_max + 1) * spi
     # must mirror the engine's period fit exactly (same key schedule)
@@ -550,37 +590,65 @@ def build_applied_counter(
     rank_arr = jnp.asarray(pidx.step_rank.astype(np.int32))
     cnt_arr = jnp.asarray(pidx.step_count_of_step.astype(np.int32))
 
-    @jax.jit
-    def count_fn(base_key, pos, rank_a, cnt_a):
-        def block(j, acc):
+    from .sweep_common import INACTIVE as _INACT
+
+    # The on-device accumulators are i32 (x64 is disabled in this
+    # stack) and wrap past 2**31-1 — ADVICE r4: the full CLI 4M-genome
+    # schedule (~1.6e9) left only ~25% headroom.  Each block adds at
+    # most n_phase*S to each counter, so the block loop is CHUNKED
+    # host-side with exact Python-int summation; any schedule size is
+    # now exact.
+    chunk_blocks = max(1, (2**31 - 1) // max(n_phase * S * P, 1))
+
+    @partial(jax.jit, static_argnames=("nb",))
+    def count_chunk(b0, base_key, pos, rank_a, cnt_a, *, nb):
+        def block(jl, acc):
+            ap, pr = acc
+            j = b0 + jl
             for rr in range(n_phase):
                 idx = j * n_phase + rr
                 r = jnp.minimum(idx, n_sweeps - 1)
                 key = jax.random.fold_in(base_key, idx)
-                bits, u = sweep_rng(key, S, fdt)
-                sidx = samplers[rr](
-                    bits, u, cool_j[r], rank_a, cnt_a, active_frac
-                )
                 offs_p = phase_offsets[rr]
-                for ki in range(len(offs_p)):
-                    k = int(offs_p[ki])
-                    # A +k (resp. -k) choice at step t is guaranteed
-                    # in-path by the sampler, so t+k < S (paths are
-                    # contiguous); rolled-in wrap lanes can never be
-                    # chosen and need no guard here.
-                    d_f = jnp.abs(pos - jnp.roll(pos, -k))
-                    d_b = jnp.abs(pos - jnp.roll(pos, +k))
-                    acc = acc + jnp.sum(
-                        (sidx == ki) & (d_f != 0), dtype=jnp.int32
+                for pi in range(P):
+                    # mirrors the engine's per-proposal key schedule
+                    kp = key if P == 1 else jax.random.fold_in(key, pi)
+                    bits, u = sweep_rng(kp, S, fdt)
+                    sidx = samplers[rr](
+                        bits, u, cool_j[r], rank_a, cnt_a, active_frac
                     )
-                    acc = acc + jnp.sum(
-                        (sidx == ~ki) & (d_b != 0), dtype=jnp.int32
-                    )
-            return acc
-        # i32 accumulator: exact to 2.1e9 applied pairs — above any
-        # schedule this counter is pointed at (bench: <4e8; full CLI
-        # 4M-genome schedule: ~1.6e9); x64 is disabled in this stack
-        return jax.lax.fori_loop(0, n_blocks, block, jnp.int32(0))
+                    pr = pr + jnp.sum(sidx != _INACT, dtype=jnp.int32)
+                    for ki in range(len(offs_p)):
+                        k = int(offs_p[ki])
+                        # A +k (resp. -k) choice at step t is guaranteed
+                        # in-path by the sampler, so t+k < S (paths are
+                        # contiguous); rolled-in wrap lanes can never be
+                        # chosen and need no guard here.
+                        d_f = jnp.abs(pos - jnp.roll(pos, -k))
+                        d_b = jnp.abs(pos - jnp.roll(pos, +k))
+                        ap = ap + jnp.sum(
+                            (sidx == ki) & (d_f != 0), dtype=jnp.int32
+                        )
+                        ap = ap + jnp.sum(
+                            (sidx == ~ki) & (d_b != 0), dtype=jnp.int32
+                        )
+            return ap, pr
+        return jax.lax.fori_loop(
+            0, nb, block, (jnp.int32(0), jnp.int32(0))
+        )
+
+    def count_fn(base_key, pos, rank_a, cnt_a):
+        applied = proposed = 0
+        b0 = 0
+        while b0 < n_blocks:
+            nb = min(chunk_blocks, n_blocks - b0)
+            a, pr = count_chunk(
+                jnp.int32(b0), base_key, pos, rank_a, cnt_a, nb=nb
+            )
+            applied += int(jax.device_get(a))
+            proposed += int(jax.device_get(pr))
+            b0 += nb
+        return {"applied": applied, "proposed_actual": proposed}
 
     info = {
         "n_sweeps": n_sweeps,
@@ -600,6 +668,8 @@ def path_linear_sgd_sweep(
     consensus_every: Optional[int] = None,
     active_frac: Optional[float] = None,
     rotate=None,
+    dense_upto: Optional[int] = None,
+    proposals: Optional[int] = None,
     x0: Optional[np.ndarray] = None,
     return_info: bool = False,
 ):
@@ -613,7 +683,8 @@ def path_linear_sgd_sweep(
     if not pidx.has_multi_step_path():
         return None
     run, arrays, make_state, info = build_sweep_runner(
-        pidx, params, per_octave, consensus_every, active_frac, rotate
+        pidx, params, per_octave, consensus_every, active_frac, rotate,
+        dense_upto, proposals,
     )
     xs0, x_node0 = make_state(x0)
     x_final = run(xs0, x_node0, jax.random.key(params.seed), *arrays)

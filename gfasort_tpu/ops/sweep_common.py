@@ -44,7 +44,15 @@ def sweep_rng(key, S: int, fdt, mode: str | None = None):
     a counter-based finalizer hash is the TPU-idiomatic equivalent,
     and the bench certifies the exact shipped configuration against
     the bit-exact oracle every run.  ``GFASORT_SWEEP_RNG=threefry``
-    restores jax.random draws (always used for f64 runs)."""
+    restores jax.random draws (always used for f64 runs).
+
+    Structure note (ADVICE r4): a single ``mix(i + b)`` stream is
+    index-SHIFT-correlated across sweeps whose folded key words differ
+    by a small integer (``mix((i+d) + b) == mix(i + (b+d))``).  The
+    shipped form is two-stage — ``mix(mix(i + b1) ^ f(b2))`` — so a
+    shifted counter passes through a second keyed nonlinearity and the
+    cross-sweep relation is no simpler than for any two fixed-key
+    scrambler streams."""
     import os
 
     import jax
@@ -70,8 +78,9 @@ def sweep_rng(key, S: int, fdt, mode: str | None = None):
         x = x * jnp.uint32(0xC2B2AE35)
         return x ^ (x >> 16)
 
-    bits = mix(i + b1)
-    u_bits = mix((i ^ jnp.uint32(0x632BE59B)) + b2)
+    h = mix(i + b1)
+    bits = mix(h ^ b2)
+    u_bits = mix(h ^ (b2 * jnp.uint32(0x9E3779B9) + jnp.uint32(0x632BE59B)))
     u = (u_bits >> 8).astype(fdt) * fdt(2.0**-24)
     return bits, u
 

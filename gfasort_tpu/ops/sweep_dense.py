@@ -133,11 +133,25 @@ def _shift_ref(jnp, a, k, fill):
 
 
 def build_bucket_apply(buckets, S: int, fdt, br: int = 256,
-                       interpret=None, vma=None):
+                       interpret=None, vma=None, proposals: int = 1):
     """Build ``apply(xs, pos, sidx, eta) -> (dsum, csum)`` computing the
     contributions of the given ``buckets`` — a list of (k, ki) pairs
     with 1 <= k <= KMAX and ki the bucket's index in the phase's offset
     set (sidx == ki chooses +k, sidx == ~ki chooses -k).
+
+    ``proposals`` > 1 (round 5): ``sidx`` is a LIST of that many
+    independent per-step choice arrays, and the per-(bucket, half)
+    weight is the count of proposals selecting the pair.  The expensive
+    per-bucket update math (d, mu, dx, mag — the dominant VPU cost of
+    the whole engine, docs/DESIGN.md §8) is computed ONCE and shared by
+    all proposals; each extra proposal adds only its mask compares, so
+    applied updates scale ~P× for ~(1 + small)× the op budget.
+
+    The r4 iota end guards are gone: a ``+k``/``-k`` choice is
+    guaranteed in-path by the sampler (paths are contiguous in step
+    space), and the partner-side mask reads the INACT-padded halo
+    beyond the array ends, so neither half can fire across the
+    boundary (mirrors the applied-counter's argument, ops/sweep.py).
 
     Arrays are flat [S]; S need not be 128*br-aligned (padded here,
     sliced on return).  When called inside ``shard_map``, pass
@@ -158,11 +172,16 @@ def build_bucket_apply(buckets, S: int, fdt, br: int = 256,
 
     buckets = [(int(k), int(ki)) for k, ki in buckets]
     assert all(1 <= k <= _KMAX_HW for k, _ in buckets)
+    P = int(proposals)
+
+    def _as_list(sidx):
+        return list(sidx) if isinstance(sidx, (list, tuple)) else [sidx]
 
     if interpret:
         # Non-TPU (test) path: same math in plain jnp ops.
         def apply_ref(xs, pos, sidx, eta):
-            f = jnp.arange(S)
+            sidxs = _as_list(sidx)
+            assert len(sidxs) == P
             one = jnp.asarray(1.0, xs.dtype)
             dsum = jnp.zeros_like(xs)
             csum = jnp.zeros_like(xs)
@@ -172,16 +191,17 @@ def build_bucket_apply(buckets, S: int, fdt, br: int = 256,
                     kk = sgn * k
                     xs_o = _shift_ref(jnp, xs, kk, 0)
                     pos_o = _shift_ref(jnp, pos, kk, 0)
-                    sidx_o = _shift_ref(jnp, sidx, kk, INACT)
-                    if sgn > 0:
-                        w_bool = (sidx == ki) | (
-                            (sidx_o == ~ki) & (f + k < S))
-                    else:
-                        w_bool = (sidx == ~ki) | (
-                            (sidx_o == ki) & (f - k >= 0))
+                    sidxs_o = [_shift_ref(jnp, s, kk, INACT) for s in sidxs]
+                    w = jnp.zeros_like(xs)
+                    for s, s_o in zip(sidxs, sidxs_o):
+                        if sgn > 0:
+                            wb = (s == ki) | (s_o == ~ki)
+                        else:
+                            wb = (s == ~ki) | (s_o == ki)
+                        w = w + wb.astype(xs.dtype)
                     d = jnp.abs(pos - pos_o)
-                    valid = w_bool & (d != 0)
-                    w = valid.astype(xs.dtype)
+                    valid = d != 0
+                    w = jnp.where(valid, w, 0)
                     safe = jnp.where(valid, d, one)
                     mu = jnp.minimum(eta / safe, one)
                     dx = xs - xs_o
@@ -200,20 +220,25 @@ def build_bucket_apply(buckets, S: int, fdt, br: int = 256,
         return apply_ref
 
     qs_all = _qs_for(buckets)
-    BR = _fit_br(int(br), 3, len(qs_all))
+    n_arr = 2 + P  # xs, pos, sidx_0..sidx_{P-1}
+    BR = _fit_br(int(br), n_arr, len(qs_all))
     BLK = BR * _LANE
     nb = -(-S // BLK)
     S_pad = nb * BLK
     rows = S_pad // _LANE
     W = BR + 2 * _HR  # window rows = transposed lane count
 
-    def kernel(xs_hbm, pos_hbm, sidx_hbm, eta_ref, dsum_ref, csum_ref,
-               xs_v, pos_v, sidx_v, sems):
+    def kernel(*refs):
+        hbm = refs[:n_arr]
+        eta_ref = refs[n_arr]
+        dsum_ref, csum_ref = refs[n_arr + 1: n_arr + 3]
+        scratch = refs[n_arr + 3: 2 * n_arr + 3]
+        sems = refs[-1]
+
         i = pl.program_id(0)
         r0 = i * BR  # in the _HR-row-padded array: core_start - _HR
         cps = []
-        for src, dst, sj in ((xs_hbm, xs_v, 0), (pos_hbm, pos_v, 1),
-                             (sidx_hbm, sidx_v, 2)):
+        for sj, (src, dst) in enumerate(zip(hbm, scratch)):
             cp = pltpu.make_async_copy(
                 src.at[pl.ds(r0, W), :], dst, sems.at[jnp.int32(sj)]
             )
@@ -238,9 +263,9 @@ def build_bucket_apply(buckets, S: int, fdt, br: int = 256,
                 for q in sorted(qs)
             }
 
-        xs_h = vert(xs_v)
-        pos_h = vert(pos_v)
-        sidx_h = vert(sidx_v)
+        xs_h = vert(scratch[0])
+        pos_h = vert(scratch[1])
+        sidx_hs = [vert(scratch[2 + p]) for p in range(P)]
 
         def view(hq, k):
             q, rr = divmod(k, _LANE)
@@ -252,11 +277,7 @@ def build_bucket_apply(buckets, S: int, fdt, br: int = 256,
 
         xs = view(xs_h, 0)
         pos = view(pos_h, 0)
-        sidx = view(sidx_h, 0)
-        # flat index of core element (c, j): (i*BR + j)*128 + c
-        cc = jax.lax.broadcasted_iota(jnp.int32, (_LANE, BR), 0)
-        jj = jax.lax.broadcasted_iota(jnp.int32, (_LANE, BR), 1)
-        f = (i * BR + jj) * _LANE + cc
+        sidxs = [view(h, 0) for h in sidx_hs]
         eta = eta_ref[0, 0]
 
         one = jnp.float32(1.0)
@@ -265,21 +286,26 @@ def build_bucket_apply(buckets, S: int, fdt, br: int = 256,
         for k, ki in buckets:
             for sgn in (+1, -1):
                 # sgn=+1: partner ahead (s+k): mine sidx==ki, theirs
-                #   (at s+k) sidx==~ki, guarded by f+k < S
+                #   (at s+k) sidx==~ki.  No end guards: a choice is
+                #   sampler-guaranteed in-path, and the halo beyond the
+                #   array ends is INACT-padded (see docstring).
                 # sgn=-1: partner behind (s-k): mine sidx==~ki, theirs
-                #   sidx==ki, guarded by f-k >= 0
-                # (mirrors ops/sweep.py half(); src/sgd.rs:509-576)
+                #   sidx==ki.  (mirrors ops/sweep.py half();
+                #   src/sgd.rs:509-576)
                 kk = sgn * k
                 xs_o = view(xs_h, kk)
                 pos_o = view(pos_h, kk)
-                sidx_o = view(sidx_h, kk)
-                if sgn > 0:
-                    w_bool = (sidx == ki) | ((sidx_o == ~ki) & (f + k < S))
-                else:
-                    w_bool = (sidx == ~ki) | ((sidx_o == ki) & (f - k >= 0))
+                w = jnp.zeros((_LANE, BR), jnp.float32)
+                for sidx, h in zip(sidxs, sidx_hs):
+                    sidx_o = view(h, kk)
+                    if sgn > 0:
+                        wb = (sidx == ki) | (sidx_o == ~ki)
+                    else:
+                        wb = (sidx == ~ki) | (sidx_o == ki)
+                    w = w + wb.astype(jnp.float32)
                 d = jnp.abs(pos - pos_o)
-                valid = w_bool & (d != 0)
-                w = valid.astype(jnp.float32)
+                valid = d != 0
+                w = jnp.where(valid, w, jnp.float32(0.0))
                 safe = jnp.where(valid, d, one)
                 mu = jnp.minimum(eta / safe, one)
                 dx = xs - xs_o
@@ -298,12 +324,11 @@ def build_bucket_apply(buckets, S: int, fdt, br: int = 256,
     call = pl.pallas_call(
         kernel,
         grid=(nb,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-        ],
+        in_specs=(
+            [pl.BlockSpec(memory_space=pl.ANY) for _ in range(n_arr)]
+            + [pl.BlockSpec((1, 1), lambda i: (0, 0),
+                            memory_space=pltpu.SMEM)]
+        ),
         out_specs=[
             pl.BlockSpec((BR, _LANE), lambda i: (i, 0)),
             pl.BlockSpec((BR, _LANE), lambda i: (i, 0)),
@@ -312,17 +337,19 @@ def build_bucket_apply(buckets, S: int, fdt, br: int = 256,
             jax.ShapeDtypeStruct((rows, _LANE), jnp.float32, vma=vma),
             jax.ShapeDtypeStruct((rows, _LANE), jnp.float32, vma=vma),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((W, _LANE), jnp.float32),
-            pltpu.VMEM((W, _LANE), jnp.float32),
-            pltpu.VMEM((W, _LANE), jnp.int32),
-            pltpu.SemaphoreType.DMA((3,)),
-        ],
+        scratch_shapes=(
+            [pltpu.VMEM((W, _LANE), jnp.float32),
+             pltpu.VMEM((W, _LANE), jnp.float32)]
+            + [pltpu.VMEM((W, _LANE), jnp.int32) for _ in range(P)]
+            + [pltpu.SemaphoreType.DMA((n_arr,))]
+        ),
         interpret=interpret,
     )
 
     def apply(xs, pos, sidx, eta):
-        """xs/pos [S] fdt, sidx [S] i32 -> (dsum, csum) [S] fdt."""
+        """xs/pos [S] fdt, sidx (list of) [S] i32 -> (dsum, csum)."""
+        sidxs = _as_list(sidx)
+        assert len(sidxs) == P
         pad = S_pad - S
 
         def pad2(a, fill):
@@ -331,11 +358,11 @@ def build_bucket_apply(buckets, S: int, fdt, br: int = 256,
             a = a.reshape(rows, _LANE)
             return jnp.pad(a, ((_HR, _HR), (0, 0)), constant_values=fill)
 
-        xs_p = pad2(xs.astype(jnp.float32), 0)
-        pos_p = pad2(pos.astype(jnp.float32), 0)
-        sidx_p = pad2(sidx, INACT)
-        eta_a = jnp.full((1, 1), eta, jnp.float32)
-        dsum, csum = call(xs_p, pos_p, sidx_p, eta_a)
+        args = [pad2(xs.astype(jnp.float32), 0),
+                pad2(pos.astype(jnp.float32), 0)]
+        args += [pad2(s, INACT) for s in sidxs]
+        args.append(jnp.full((1, 1), eta, jnp.float32))
+        dsum, csum = call(*args)
         return (
             dsum.reshape(-1)[:S].astype(xs.dtype),
             csum.reshape(-1)[:S].astype(xs.dtype),

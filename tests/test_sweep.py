@@ -179,7 +179,8 @@ def test_applied_counter_matches_manual_count():
     cfg = dict(per_octave=3, consensus_every=1, active_frac=0.5, rotate=1)
     count_fn, arrays, info = build_applied_counter(pidx, p, **cfg)
     assert info["total_exec_sweeps"] == 1
-    got = int(jax.device_get(count_fn(jax.random.key(p.seed), *arrays)))
+    res = count_fn(jax.random.key(p.seed), *arrays)
+    got = res["applied"]
 
     # manual: same keys, same sampler, numpy masks
     max_jump = max(1, min(int(p.space), pidx.max_path_step_count - 1))
@@ -201,6 +202,8 @@ def test_applied_counter_matches_manual_count():
         bwd = np.flatnonzero(sidx == ~np.int32(ki))
         manual += int(np.sum(pos[bwd] != pos[bwd - k]))
     assert got == manual
+    # proposed_actual must equal the replayed sampler's activations
+    assert res["proposed_actual"] == int(np.sum(sidx != np.int32(0x7FFFFFF)))
     # 'proposed' = EXPECTED S·frac, not a bound: the activation draw
     # is binomial, so allow sampling spread around it
     assert 0 < got <= S
@@ -243,3 +246,79 @@ def test_fit_consensus_period():
         periods = -(-n // got)
         assert periods * got >= n            # covers the schedule
         assert periods == -(-n // max(ce, ph)) or ce < ph  # period count kept
+
+
+def test_multi_proposal_sweep_runs_and_certifies():
+    """proposals=2 (r5): P independent proposals per sweep share one
+    bucket pass.  The engine must stay finite and land near the P=1
+    ordering on a synthetic chromosome-like workload."""
+    from gfasort_tpu.bench_util import rank_quality, synthetic_path_index
+    from gfasort_tpu.params import PathSGDParams
+
+    pidx = synthetic_path_index(3000, 4, 6000, seed=3)
+    p = replace(
+        PathSGDParams().derive_from_graph(pidx),
+        dtype="float32", pow_mode="fast", iter_max=20,
+    )
+    x1, x2 = (
+        path_linear_sgd_sweep(None, p, pidx, per_octave=2,
+                              consensus_every=4, active_frac=1.0,
+                              proposals=pp)
+        for pp in (1, 2)
+    )
+    assert np.isfinite(x1).all() and np.isfinite(x2).all()
+    q = rank_quality(np.argsort(x1, kind="stable"),
+                     np.argsort(x2, kind="stable"))
+    assert q["spearman"] > 0.99
+
+
+def test_multi_proposal_counter_matches_manual():
+    """The applied counter must replay the engine's per-proposal key
+    schedule exactly (P=2, one sweep)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gfasort_tpu.bench_util import synthetic_path_index
+    from gfasort_tpu.ops.fastpow import zeta_table
+    from gfasort_tpu.ops.sweep import build_applied_counter
+    from gfasort_tpu.ops.sweep_common import (INACTIVE, make_offset_sampler,
+                                              sweep_rng)
+    from gfasort_tpu.params import PathSGDParams
+
+    pidx = synthetic_path_index(1500, 3, 3000, seed=9)
+    S = pidx.total_steps
+    p = replace(
+        PathSGDParams().derive_from_graph(pidx),
+        dtype="float32", pow_mode="fast", iter_max=0,
+        min_term_updates=1,
+    )
+    cfg = dict(per_octave=3, consensus_every=1, active_frac=1.0,
+               rotate=1, proposals=2)
+    count_fn, arrays, info = build_applied_counter(pidx, p, **cfg)
+    assert info["total_exec_sweeps"] == 1
+    assert info["updates_per_sweep"] == 2 * S
+    res = count_fn(jax.random.key(p.seed), *arrays)
+
+    from gfasort_tpu.ops.sweep import offset_set
+
+    max_jump = max(1, min(int(p.space), pidx.max_path_step_count - 1))
+    offs = offset_set(max_jump, 3)
+    zetas = zeta_table(p.space, p.space_max, p.space_quantization_step,
+                      p.theta)
+    _, _, sample_block = make_offset_sampler(offs, p, zetas, jnp.float32)
+    key = jax.random.fold_in(jax.random.key(p.seed), 0)
+    pos = pidx.step_pos
+    manual = proposed = 0
+    for pi in range(2):
+        kp = jax.random.fold_in(key, pi)
+        bits, u = sweep_rng(kp, S, jnp.float32)
+        sidx = np.asarray(jax.device_get(sample_block(
+            bits, u, jnp.asarray(False), arrays[1], arrays[2], 1.0)))
+        proposed += int(np.sum(sidx != INACTIVE))
+        for ki, k in enumerate(offs.tolist()):
+            fwd = np.flatnonzero(sidx == ki)
+            manual += int(np.sum(pos[fwd] != pos[fwd + k]))
+            bwd = np.flatnonzero(sidx == ~np.int32(ki))
+            manual += int(np.sum(pos[bwd] != pos[bwd - k]))
+    assert res["applied"] == manual
+    assert res["proposed_actual"] == proposed
