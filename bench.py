@@ -403,21 +403,25 @@ def main() -> int:
     result["fallback"] = fb
     emit()
 
-    # ---- 11. (BENCH_FULL) full-schedule certification of the CLI
-    # default at the reference's iter_max=100 (VERDICT r3 task 8;
-    # contract: src/sgd.rs:217) ----
-    if FULL:
-        qf = sweep_quality_vs_oracle(
-            n_nodes=cn, steps_per_path=cn, iter_max=100
-        )
-        err(f"[bench] full-schedule (iter_max=100) certification: {qf}")
-        result["quality_full_schedule"] = {
-            "rank_mae_frac": round(qf["rank_mae_frac"], 6) if qf else None,
-            "spearman": round(qf["spearman"], 7) if qf else None,
-            "iter_max": 100,
-            "ok": bool(qf and qf["rank_mae_frac"] <= MAE_FRAC_MAX
-                       and qf["spearman"] >= SPEARMAN_MIN),
-        }
+    # ---- 11. full-schedule certification of the CLI default at the
+    # reference's iter_max=100 (VERDICT r3 task 8 / r4 task 4;
+    # contract: src/sgd.rs:217).  Runs in the DEFAULT protocol at a
+    # reduced cert shape (still >= LARGE_S total steps, so the policy
+    # resolves to the same throughput settings); BENCH_FULL certifies
+    # at the full 100k shape. ----
+    cn_f = cn if FULL else int(os.environ.get("BENCH_QFS_NODES", 50_000))
+    qf = sweep_quality_vs_oracle(
+        n_nodes=cn_f, steps_per_path=cn_f, iter_max=100
+    )
+    err(f"[bench] full-schedule (iter_max=100) certification: {qf}")
+    result["quality_full_schedule"] = {
+        "rank_mae_frac": round(qf["rank_mae_frac"], 6) if qf else None,
+        "spearman": round(qf["spearman"], 7) if qf else None,
+        "iter_max": 100,
+        "n_nodes": cn_f,
+        "ok": bool(qf and qf["rank_mae_frac"] <= MAE_FRAC_MAX
+                   and qf["spearman"] >= SPEARMAN_MIN),
+    }
 
     result["partial"] = False
     emit()

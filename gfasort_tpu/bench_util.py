@@ -496,6 +496,7 @@ def bench_sweep_nd(
     pidx: PathIndex, dims: int = 2, rounds: int = 48, repeats: int = 3,
     consensus_every: Optional[int] = None, rotate=None,
     active_frac: Optional[float] = None,
+    dense_upto: Optional[int] = None, proposals: Optional[int] = None,
 ) -> dict:
     """Time the nD layout sweep engine (BASELINE configs 3-4; reference
     hot loop src/sgd.rs:988-1156)."""
@@ -517,7 +518,7 @@ def bench_sweep_nd(
 
     run, arrays, make_state, info = build_sweep_nd_runner(
         pidx, lp, consensus_every=consensus_every, active_frac=frac,
-        rotate=rotate,
+        rotate=rotate, dense_upto=dense_upto, proposals=proposals,
     )
     from .ops.exact import layout_initial_coords
 
@@ -547,6 +548,7 @@ def bench_sweep_nd(
         "final_finite": bool(np.isfinite(xn).all()),
         "consensus_every_eff": info["consensus_every"],
         "rotate_eff": info["rotate"],
+        "proposals": info.get("proposals", 1),
         "warmup_s": warmup,
     }
 

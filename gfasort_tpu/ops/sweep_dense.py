@@ -382,7 +382,8 @@ def build_dense_apply(n_dense: int, S: int, fdt, br: int = 256,
 
 
 def build_dense_apply_nd(n_dense: int, S: int, D: int, fdt, br: int = 256,
-                         interpret=None, vma=None, buckets=None):
+                         interpret=None, vma=None, buckets=None,
+                         proposals: int = 1):
     """nD-layout variant of :func:`build_bucket_apply`:
     ``apply(my_pos, sidx, my_c, eta) -> (acc, wacc)`` where ``my_c`` is
     a list of D per-dim coordinate rows [S] (the chosen-end coords the
@@ -391,9 +392,14 @@ def build_dense_apply_nd(n_dense: int, S: int, D: int, fdt, br: int = 256,
     magnitude over D dims, zero-distance guard on deltas[0], r clamp.
     ``buckets`` defaults to the dense set [(k, k-1) for k <= n_dense].
 
-    br=256 (not 512): the 2+D input windows plus their transposed
-    halo'd copies and the unrolled buckets' intermediates must fit the
-    16MB scoped-VMEM stack.
+    ``proposals`` > 1: ``sidx`` is a list of that many choice arrays
+    and the per-(bucket, half) weight is the count of proposals
+    selecting the pair (see :func:`build_bucket_apply`; the end-coin
+    and the update math are shared, only the partner choice varies).
+
+    br=256 (not 512): the input windows plus their transposed halo'd
+    copies and the unrolled buckets' intermediates must fit the 16MB
+    scoped-VMEM stack.
 
     Returns None for an empty bucket list (see build_bucket_apply)."""
     if buckets is not None and not buckets:
@@ -412,10 +418,15 @@ def build_dense_apply_nd(n_dense: int, S: int, D: int, fdt, br: int = 256,
         buckets = [(k, k - 1) for k in range(1, n_dense + 1)]
     buckets = [(int(k), int(ki)) for k, ki in buckets]
     assert all(1 <= k <= _KMAX_HW for k, _ in buckets)
+    P = int(proposals)
+
+    def _as_list(sidx):
+        return list(sidx) if isinstance(sidx, (list, tuple)) else [sidx]
 
     if interpret:
         def apply_ref(my_pos, sidx, my_c, eta):
-            f = jnp.arange(S)
+            sidxs = _as_list(sidx)
+            assert len(sidxs) == P
             one = jnp.asarray(1.0, my_pos.dtype)
             acc = [jnp.zeros_like(my_pos) for _ in range(D)]
             wacc = jnp.zeros_like(my_pos)
@@ -425,16 +436,17 @@ def build_dense_apply_nd(n_dense: int, S: int, D: int, fdt, br: int = 256,
                     kk = sgn * k
                     pos_o = _shift_ref(jnp, my_pos, kk, 0)
                     c_o = [_shift_ref(jnp, c, kk, 0) for c in my_c]
-                    sidx_o = _shift_ref(jnp, sidx, kk, INACT)
-                    if sgn > 0:
-                        w_bool = (sidx == ki) | (
-                            (sidx_o == ~ki) & (f + k < S))
-                    else:
-                        w_bool = (sidx == ~ki) | (
-                            (sidx_o == ki) & (f - k >= 0))
+                    sidxs_o = [_shift_ref(jnp, s, kk, INACT) for s in sidxs]
+                    w = jnp.zeros_like(my_pos)
+                    for s, s_o in zip(sidxs, sidxs_o):
+                        if sgn > 0:
+                            wb = (s == ki) | (s_o == ~ki)
+                        else:
+                            wb = (s == ~ki) | (s_o == ki)
+                        w = w + wb.astype(my_pos.dtype)
                     d_term = jnp.abs(my_pos - pos_o)
-                    valid = (d_term != 0) & w_bool
-                    w = valid.astype(my_pos.dtype)
+                    valid = d_term != 0
+                    w = jnp.where(valid, w, 0)
                     safe = jnp.where(valid, d_term, one)
                     mu = jnp.minimum(eta / safe, one)
                     deltas = [a - b for a, b in zip(my_c, c_o)]
@@ -457,7 +469,7 @@ def build_dense_apply_nd(n_dense: int, S: int, D: int, fdt, br: int = 256,
         return apply_ref
 
     qs_all = _qs_for(buckets)
-    n_in = 2 + D  # pos, sidx, c_0..c_{D-1}
+    n_in = 1 + P + D  # pos, sidx_0..sidx_{P-1}, c_0..c_{D-1}
     # mid buckets (k > 8) in the nD kernel: force BR=128 — measured
     # OOMs at BR=256 do not track the n_q model reliably here (one
     # n_q=7 phase compiled, another blew the 16MB stack by 720KB),
@@ -502,8 +514,8 @@ def build_dense_apply_nd(n_dense: int, S: int, D: int, fdt, br: int = 256,
             }
 
         pos_h = vert(scratch[0])
-        sidx_h = vert(scratch[1])
-        c_h = [vert(scratch[2 + d]) for d in range(D)]
+        sidx_hs = [vert(scratch[1 + p]) for p in range(P)]
+        c_h = [vert(scratch[1 + P + d]) for d in range(D)]
 
         def view(hq, k):
             q, rr = divmod(k, _LANE)
@@ -514,11 +526,8 @@ def build_dense_apply_nd(n_dense: int, S: int, D: int, fdt, br: int = 256,
             return jnp.concatenate([a, b], axis=0)
 
         pos = view(pos_h, 0)
-        sidx = view(sidx_h, 0)
+        sidxs = [view(h, 0) for h in sidx_hs]
         cvs = [view(h, 0) for h in c_h]
-        cc = jax.lax.broadcasted_iota(jnp.int32, (_LANE, BR), 0)
-        jj = jax.lax.broadcasted_iota(jnp.int32, (_LANE, BR), 1)
-        f = (i * BR + jj) * _LANE + cc
         eta = eta_ref[0, 0]
 
         one = jnp.float32(1.0)
@@ -528,15 +537,20 @@ def build_dense_apply_nd(n_dense: int, S: int, D: int, fdt, br: int = 256,
             for sgn in (+1, -1):
                 kk = sgn * k
                 pos_o = view(pos_h, kk)
-                sidx_o = view(sidx_h, kk)
                 c_o = [view(h, kk) for h in c_h]
-                if sgn > 0:
-                    w_bool = (sidx == ki) | ((sidx_o == ~ki) & (f + k < S))
-                else:
-                    w_bool = (sidx == ~ki) | ((sidx_o == ki) & (f - k >= 0))
+                # no end guards: sampler guarantee + INACT halo (see
+                # build_bucket_apply docstring)
+                w = jnp.zeros((_LANE, BR), jnp.float32)
+                for sidx, h in zip(sidxs, sidx_hs):
+                    sidx_o = view(h, kk)
+                    if sgn > 0:
+                        wb = (sidx == ki) | (sidx_o == ~ki)
+                    else:
+                        wb = (sidx == ~ki) | (sidx_o == ki)
+                    w = w + wb.astype(jnp.float32)
                 d_term = jnp.abs(pos - pos_o)
-                valid = (d_term != 0) & w_bool
-                w = valid.astype(jnp.float32)
+                valid = d_term != 0
+                w = jnp.where(valid, w, jnp.float32(0.0))
                 safe = jnp.where(valid, d_term, one)
                 mu = jnp.minimum(eta / safe, one)
                 deltas = [a - b for a, b in zip(cvs, c_o)]
@@ -569,8 +583,8 @@ def build_dense_apply_nd(n_dense: int, S: int, D: int, fdt, br: int = 256,
         out_shape=[jax.ShapeDtypeStruct((rows, _LANE), jnp.float32, vma=vma)
                    for _ in range(D + 1)],
         scratch_shapes=(
-            [pltpu.VMEM((W, _LANE), jnp.float32),
-             pltpu.VMEM((W, _LANE), jnp.int32)]
+            [pltpu.VMEM((W, _LANE), jnp.float32)]
+            + [pltpu.VMEM((W, _LANE), jnp.int32) for _ in range(P)]
             + [pltpu.VMEM((W, _LANE), jnp.float32) for _ in range(D)]
             + [pltpu.SemaphoreType.DMA((n_in,))]
         ),
@@ -578,6 +592,8 @@ def build_dense_apply_nd(n_dense: int, S: int, D: int, fdt, br: int = 256,
     )
 
     def apply(my_pos, sidx, my_c, eta):
+        sidxs = _as_list(sidx)
+        assert len(sidxs) == P
         pad = S_pad - S
 
         def pad2(a, fill):
@@ -586,8 +602,8 @@ def build_dense_apply_nd(n_dense: int, S: int, D: int, fdt, br: int = 256,
             a = a.reshape(rows, _LANE)
             return jnp.pad(a, ((_HR, _HR), (0, 0)), constant_values=fill)
 
-        args = [pad2(my_pos.astype(jnp.float32), 0),
-                pad2(sidx, INACT)]
+        args = [pad2(my_pos.astype(jnp.float32), 0)]
+        args += [pad2(s, INACT) for s in sidxs]
         args += [pad2(c.astype(jnp.float32), 0) for c in my_c]
         args.append(jnp.full((1, 1), eta, jnp.float32))
         outs = call(*args)

@@ -38,12 +38,20 @@ __all__ = [
 
 
 def make_nd_sweep_fn(offs_p, S, D, params, zetas, fdt, active_frac,
-                     dense_vma=None):
+                     dense_vma=None, proposals: int = 1):
     """Build one nD sweep function for a phase's offset set.  Shared by
     the single-device runner and the sharded engine
     (parallel/sweep_nd_shard.py), which calls it with the per-shard
     length L as ``S`` and ``dense_vma={axis}`` (shard_map varying-axes
-    annotation for the fused dense kernel's outputs)."""
+    annotation for the fused dense kernel's outputs).
+
+    ``proposals`` > 1 (r5): P independent partner choices per step per
+    sweep share ONE bucket pass (see ops/sweep.py).  The per-step END
+    coin stays shared across proposals — the update math (my_pos, my_c)
+    must be common for the bucket pass to be shareable; this is the
+    same one-end-per-step-per-sweep approximation the engine already
+    makes vs the reference's per-term coin (src/sgd.rs:1060-1077),
+    certified via the stress ratio."""
     import jax
     import jax.numpy as jnp
 
@@ -56,6 +64,7 @@ def make_nd_sweep_fn(offs_p, S, D, params, zetas, fdt, active_frac,
 
     offs_p = np.asarray(offs_p)
     Kp = len(offs_p)
+    P = max(1, int(proposals))
     _, _, sample_block = make_offset_sampler(offs_p, params, zetas, fdt)
 
     # fused Pallas kernel for all small-offset buckets (k <= KMAX,
@@ -67,7 +76,8 @@ def make_nd_sweep_fn(offs_p, S, D, params, zetas, fdt, active_frac,
         kbuckets = [(int(offs_p[ki]), ki) for ki in range(Kp)
                     if offs_p[ki] <= kmax]
         dense_apply = build_dense_apply_nd(
-            nd_dense, S, D, fdt, vma=dense_vma, buckets=kbuckets
+            nd_dense, S, D, fdt, vma=dense_vma, buckets=kbuckets,
+            proposals=P,
         )
         served = {ki for _, ki in kbuckets}
     else:
@@ -80,9 +90,16 @@ def make_nd_sweep_fn(offs_p, S, D, params, zetas, fdt, active_frac,
         an [S] row, so the TPU's 128-wide lanes stay fully packed —
         the original [S, 2, D] layout put D (2-3) in the minor
         dimension and ran ~30x below elementwise peak."""
-        bits, u = sweep_rng(key, S, fdt)
-        other_end_self = ((bits >> 29) & 1) == 1   # end coin for me
-        sidx = sample_block(bits, u, cooling, rank_a, cnt_a, active_frac)
+        sidxs = []
+        bits0 = None
+        for pi in range(P):
+            kp = key if P == 1 else jax.random.fold_in(key, pi)
+            bits, u = sweep_rng(kp, S, fdt)
+            if bits0 is None:
+                bits0 = bits
+            sidxs.append(sample_block(
+                bits, u, cooling, rank_a, cnt_a, active_frac))
+        other_end_self = ((bits0 >> 29) & 1) == 1   # end coin for me
 
         # per-term end choice for EACH endpoint: the reference flips a
         # coin per endpoint per term (rs:1060-1077).  Elementwise: my
@@ -98,13 +115,14 @@ def make_nd_sweep_fn(offs_p, S, D, params, zetas, fdt, active_frac,
         # all of these are computed values rolled by every bucket
         # below; without the barrier XLA may fuse their computation
         # into each roll (see ops/sweep.py)
-        sidx, my_pos, *my_c = jax.lax.optimization_barrier(
-            (sidx, my_pos, *my_c)
+        *sidxs, my_pos = jax.lax.optimization_barrier(
+            (*sidxs, my_pos)
         )
+        my_c = list(jax.lax.optimization_barrier(tuple(my_c)))
 
         iota = jax.lax.iota(jnp.int32, S)
         if dense_apply is not None:
-            acc, wacc = dense_apply(my_pos, sidx, my_c, eta)
+            acc, wacc = dense_apply(my_pos, sidxs, my_c, eta)
         else:
             acc = [jnp.zeros((S,), cs.dtype) for _ in range(D)]
             wacc = jnp.zeros((S,), cs.dtype)
@@ -113,17 +131,20 @@ def make_nd_sweep_fn(offs_p, S, D, params, zetas, fdt, active_frac,
                 continue
             k = int(offs_p[ki])
 
-            def half(shift, w_mine, w_theirs):
+            def half(shift, pairs):
                 # in-path validity comes from the sampler's offset
                 # clamp; only the roll wraparound needs guarding
                 # (see ops/sweep.py)
                 pos_o = jnp.roll(my_pos, shift)
                 c_o = [jnp.roll(c, shift) for c in my_c]
                 guard = iota < S + shift if shift < 0 else iota >= shift
-                w_bool = w_mine | (w_theirs & guard)
+                w = None
+                for w_mine, w_theirs in pairs:
+                    wb = (w_mine | (w_theirs & guard)).astype(cs.dtype)
+                    w = wb if w is None else w + wb
                 d_term = jnp.abs(my_pos - pos_o)
-                valid = (d_term != 0) & w_bool
-                w = valid.astype(cs.dtype)
+                valid = d_term != 0
+                w = jnp.where(valid, w, fdt(0.0))
                 safe = jnp.where(valid, d_term, 1.0)
                 mu = jnp.minimum(eta / safe, 1.0)
                 deltas = [a - b for a, b in zip(my_c, c_o)]
@@ -138,8 +159,10 @@ def make_nd_sweep_fn(offs_p, S, D, params, zetas, fdt, active_frac,
                 wr = w * r
                 return [-wr * dd for dd in deltas], w   # I receive -upd
 
-            d1, w1 = half(-k, sidx == ki, jnp.roll(sidx, -k) == ~ki)
-            d2, w2 = half(+k, sidx == ~ki, jnp.roll(sidx, +k) == ki)
+            d1, w1 = half(-k, [(s == ki, jnp.roll(s, -k) == ~ki)
+                               for s in sidxs])
+            d2, w2 = half(+k, [(s == ~ki, jnp.roll(s, +k) == ki)
+                               for s in sidxs])
             acc = [a + x + y for a, x, y in zip(acc, d1, d2)]
             wacc = wacc + w1 + w2
         # the chosen end is fixed for the whole sweep: apply the mean
@@ -164,6 +187,8 @@ def build_sweep_nd_runner(
     consensus_every: Optional[int] = None,
     active_frac: Optional[float] = None,
     rotate=None,
+    dense_upto: Optional[int] = None,
+    proposals: Optional[int] = None,
 ):
     """Knobs left as None default to the shape-aware policy
     (:func:`gfasort_tpu.ops.sweep_common.auto_sweep_config` with
@@ -186,11 +211,16 @@ def build_sweep_nd_runner(
         active_frac = _auto["active_frac"]
     if rotate is None:
         rotate = _auto["rotate"]
+    if dense_upto is None:
+        dense_upto = _auto.get("dense_upto", 8)
+    if proposals is None:
+        proposals = _auto.get("proposals", 1)
+    P = max(1, int(proposals))
 
     # layout jumps are rank-limited like 1D (space is already in steps
     # for the layout params, src/sgd.rs:754)
     max_jump = max(1, min(int(params.space), pidx.max_path_step_count - 1))
-    offs = offset_set(max_jump, per_octave)
+    offs = offset_set(max_jump, per_octave, dense_upto)
     K = len(offs)
 
     # bucket rotation (see ops/sweep.py and sweep_common.phase_structure)
@@ -212,7 +242,7 @@ def build_sweep_nd_runner(
     # DRB1 (0.278 vs 0.274; the old 1/16 floor gave 0.31); large shapes
     # get the certified frac=min(4N/S, 1) (stress ratio 0.879 at the
     # chromosome cert shape, BEATS the oracle)
-    updates_per_sweep = max(1, int(S * active_frac))
+    updates_per_sweep = P * max(1, int(S * active_frac))
 
     etas = eta_schedule(
         1.0 / params.eta_max, 1.0, params.iter_max,
@@ -239,7 +269,8 @@ def build_sweep_nd_runner(
     )
 
     sweep_fns = [
-        make_nd_sweep_fn(po_, S, D, params, zetas, fdt, active_frac)
+        make_nd_sweep_fn(po_, S, D, params, zetas, fdt, active_frac,
+                         proposals=P)
         for po_ in phase_offsets
     ]
 
@@ -388,6 +419,7 @@ def build_sweep_nd_runner(
     info = {
         "n_sweeps": n_sweeps,
         "updates_per_sweep": updates_per_sweep,
+        "proposals": P,
         "active_frac": active_frac,
         "n_offsets": K,
         "rotate": rotate,
@@ -404,6 +436,8 @@ def path_linear_sgd_layout_sweep(
     consensus_every: Optional[int] = None,
     active_frac: Optional[float] = None,
     rotate=None,
+    dense_upto: Optional[int] = None,
+    proposals: Optional[int] = None,
     init_coords: Optional[np.ndarray] = None,
 ) -> Layout:
     import jax
@@ -422,7 +456,8 @@ def path_linear_sgd_layout_sweep(
         init_coords = layout_initial_coords(pidx, dims, params.seed)
 
     run, arrays, make_state, info = build_sweep_nd_runner(
-        pidx, params, per_octave, consensus_every, active_frac, rotate
+        pidx, params, per_octave, consensus_every, active_frac, rotate,
+        dense_upto, proposals,
     )
     cs0, cs_node0 = make_state(init_coords)
     x_node = run(cs0, cs_node0, jax.random.key(params.seed), *arrays)
