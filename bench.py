@@ -61,17 +61,24 @@ FULL = os.environ.get("BENCH_FULL", "0") == "1"
 # certification is BETTER at 1.0 than 0.8 (rank-MAE 3.2e-4 vs 3.8e-4,
 # Spearman 0.9999989 vs 0.9999985) — r3 measurement; section 3
 # certifies the exact timed config in-run.
-QUALITY_CFG = dict(consensus_every=8, per_octave=2, active_frac=1.0, rotate=8)
-# consensus_every=96 (was 48): the R=1 grid consensus (~24.5 ms/call)
-# amortizes over twice the sweeps — measured 1,392 -> 1,495 M/s at the
-# bench shape with IDENTICAL 100k certification (rank-MAE 3.20e-4,
-# Spearman 0.9999989 for both; scratch/ce_rotate_probe.py).  ce=192
-# gains nothing under the 96-round protocol (the runner pads to a full
-# period).  rotate=12 (11 buckets/phase vs 12): 1,495 -> 1,561 M/s and
-# the 100k certification IMPROVES (rank-MAE 2.76e-4, Spearman
-# 0.9999992).  rotate=16 would cut another bucket but its phase sets
-# hit a Mosaic compile bug (probe docstring); 12 compiles everywhere.
-THROUGHPUT_CFG = dict(consensus_every=96, per_octave=2, active_frac=1.0, rotate=12)
+QUALITY_CFG = dict(consensus_every=8, per_octave=2, active_frac=1.0,
+                   rotate=8, dense_upto=4, proposals=3)
+# Round-5 additions to the r4 config (ce=96/po=2/rotate=12, see the
+# r2-r4 probe history in git):
+#   * dense_upto=4 — the dense jump grid coarsens to {1,2,3,4,6,8}
+#     (same <=8 every-phase treatment): 2 fewer buckets/phase,
+#     1,740 -> 1,881 M/s, 100k cert unchanged (scratch/r5_bucket_probe)
+#   * proposals=3 — each step draws 3 independent partners per sweep
+#     and the bucket passes share ONE update-math evaluation (only the
+#     mask compares scale with P): 1,950 -> 3,606 M/s measured, cert
+#     flat-to-BETTER (2.97e-4/2.01e-4 vs 2.99e-4/2.06e-4 at
+#     iter30/100).  P=4 hits a Mosaic scoped-VMEM limit.
+#   * the r4 iota end guards in the fused kernel are gone (sampler
+#     guarantee + INACT halo padding): part of the P=1 1,881->1,950.
+# rotate=16 still hits the Mosaic compile bug (scratch/r5_bucket_probe
+# retests it every run).
+THROUGHPUT_CFG = dict(consensus_every=96, per_octave=2, active_frac=1.0,
+                      rotate=12, dense_upto=4, proposals=3)
 
 
 def _fit_ce(rounds: int, ce: int) -> int:

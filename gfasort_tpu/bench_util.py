@@ -249,21 +249,24 @@ def roofline_model(rate: float, info: dict, applied_frac: float,
     """HBM-bytes and VPU-ops accounting for the 1D sweep engine at a
     measured ``rate`` (pair-proposals/s/chip) — VERDICT r3 task 2.
 
-    Per-element-per-sweep models (active_frac=1, fused kernel on;
-    itemized in docs/DESIGN.md with the op-count table):
+    Per-element-per-sweep models (active_frac=1, fused kernel on,
+    P = proposals per sweep; itemized in docs/DESIGN.md with the
+    op-count table):
 
     HBM bytes:
-      * sampler pass: read rank+cnt (8), write sidx (4)          = 12
-      * fused kernel: read xs/pos/sidx (12), write dsum/csum (8) = 20
-      * XLA huge buckets (one fused pass): re-read xs+sidx at 2
-        roll alignments (16), dk tables 8 per bucket,
-        dsum/csum read+write (16)                                = 32 + 8·n_xla
-      * combine: read xs/dsum/csum, write xs                     = 16
+      * sampler pass: read rank+cnt (8), write P sidx (4P)      = 8 + 4P
+      * fused kernel: read xs/pos (8) + P sidx (4P),
+        write dsum/csum (8)                                     = 16 + 4P
+      * XLA huge buckets (one fused pass): re-read xs + P sidx
+        at 2 roll alignments (8 + 8P), dk tables 8 per bucket,
+        dsum/csum read+write (16)                               = 24 + 8P + 8·n_xla
+      * combine: read xs/dsum/csum, write xs                    = 16
     VPU ops (f32 pass counts):
       * sampler (murmur hash RNG ~25, zipf incl. const
-        where-trees ~80, masks/exact snap ~50)                 ~= 155
-      * fused kernel ~35/half -> 70 per bucket                  ~= 70·n_kern
-      * XLA bucket ~25/half (d read, not recomputed)            ~= 50·n_xla
+        where-trees ~80, masks/exact snap ~50) per proposal    ~= 155·P
+      * fused kernel: shared update math ~62 + mask
+        compares ~8·P per bucket                               ~= (62+8P)·n_kern
+      * XLA bucket: shared ~42 (d read, not recomputed) + 8·P  ~= (42+8P)·n_xla
       * combine (div + add)                                     ~= 10
 
     The consensus is accounted as measured amortized TIME (it is
@@ -275,14 +278,16 @@ def roofline_model(rate: float, info: dict, applied_frac: float,
     ce = max(int(info.get("consensus_every_eff")
                  or info.get("consensus_every") or 1), 1)
     frac = float(info.get("active_frac") or 1.0)
+    P = max(int(info.get("proposals") or 1), 1)
 
-    bytes_pe = 12 + 20 + (32 + 8 * n_xla if n_xla else 0) + 16
-    ops_pe = 155 + 70 * n_kern + 50 * n_xla + 10
-    # rate counts proposals = S·frac/sweep; per-element costs are
+    bytes_pe = ((8 + 4 * P) + (16 + 4 * P)
+                + (24 + 8 * P + 8 * n_xla if n_xla else 0) + 16)
+    ops_pe = (155 * P + (62 + 8 * P) * n_kern + (42 + 8 * P) * n_xla + 10)
+    # rate counts proposals = P·S·frac/sweep; per-element costs are
     # density-independent (masked SIMD), so per-UPDATE cost = per-elem
-    # cost / frac
-    bytes_pu = bytes_pe / max(frac, 1e-9)
-    ops_pu = ops_pe / max(frac, 1e-9)
+    # cost / (frac·P)
+    bytes_pu = bytes_pe / max(frac * P, 1e-9)
+    ops_pu = ops_pe / max(frac * P, 1e-9)
 
     bw_frac = bytes_pu * rate / V5E_HBM_BYTES_S
     vpu_frac = ops_pu * rate / V5E_VPU_OPS_S

@@ -72,6 +72,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "GFASORT_COORDINATOR / GFASORT_NUM_PROCESSES / "
                         "GFASORT_PROCESS_ID or the TPU runtime — see "
                         "docs/MULTIHOST.md")
+    p.add_argument("--server", action="store_true",
+                   help="Route this invocation through the warm-process "
+                        "server (auto-spawned on first use, reused "
+                        "afterwards): repeat same-shape runs skip the "
+                        "per-process JAX warmup entirely — see "
+                        "gfasort_tpu/server.py and docs/API.md")
     return p
 
 
@@ -123,6 +129,13 @@ def _enable_compile_cache():
 
 
 def main(argv=None) -> int:
+    argv = list(sys.argv[1:]) if argv is None else list(argv)
+    if "--server" in argv and not os.environ.get("GFASORT_IN_SERVER"):
+        # route to (or spawn) the warm process; the job re-enters this
+        # function there WITHOUT the flag
+        from .server import run_via_server
+
+        return run_via_server([a for a in argv if a != "--server"])
     args = build_parser().parse_args(argv)
     cache_report = _enable_compile_cache()
     if args.distributed:

@@ -185,6 +185,17 @@ def auto_sweep_config(S: int, N: int, *, layout: bool = False) -> dict:
     * ``rotate`` — 12 in the large regime (measured fastest AND
       best-certifying period; 16 hits a Mosaic compile bug), else the
       measured auto_rotate default.
+    * ``dense_upto`` (r5) — 4 in the large regime: the dense jump grid
+      coarsens to {1,2,3,4,6,8} (2 fewer VPU-bound buckets/phase, +8%
+      rate, 100k cert unchanged to 3 digits; scratch/r5_bucket_probe).
+      Small regime keeps the exact 1..8 grid.
+    * ``proposals`` (r5) — 3 in the large regime: P independent
+      partner draws per step per sweep share ONE bucket-pass update
+      evaluation (~1.85x rate); cert flat-to-BETTER at the 100k shape
+      (2.97e-4/2.01e-4 at iter30/100 vs 2.99e-4/2.06e-4 for P=1) and
+      validated at 1M/4M in the r5 calibration matrix (ROUND5_NOTES).
+      Small regime keeps P=1 (DRB1-scale fixtures were certified
+      there, and sweep cost is negligible anyway).
     """
     floor = 0.25 if layout else 1.0 / 16.0
     spn = S / max(N, 1)  # path redundancy: steps per node
@@ -201,12 +212,16 @@ def auto_sweep_config(S: int, N: int, *, layout: bool = False) -> dict:
             consensus_every=48 if large else 8,
             per_octave=3,
             rotate=12 if large else 8,
+            dense_upto=4 if large else 8,
+            proposals=3 if large else 1,
         )
     return dict(
         active_frac=frac,
         consensus_every=96 if large else 8,
         per_octave=2 if large else 4,
         rotate=12 if large else "auto",
+        dense_upto=4 if large else 8,
+        proposals=3 if large else 1,
     )
 
 # Sentinel "no partner chosen" value emitted by sample_block and matched

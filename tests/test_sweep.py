@@ -141,9 +141,10 @@ def test_auto_sweep_config_policy():
 
     big = auto_sweep_config(4_000_000, 1_000_000)  # bench shape, S/N=4
     assert big == dict(active_frac=1.0, consensus_every=96,
-                       per_octave=2, rotate=12)
+                       per_octave=2, rotate=12, dense_upto=4, proposals=3)
     small = auto_sweep_config(60_000, 5_000)  # DRB1-like, S/N=12
     assert small["consensus_every"] == 8 and small["per_octave"] == 4
+    assert small["dense_upto"] == 8 and small["proposals"] == 1
     assert abs(small["active_frac"] - 5_000 / 60_000) < 1e-9
     # full activation only at low path redundancy (S/N <= 5)
     assert auto_sweep_config(5 * 1000, 1000)["active_frac"] == 1.0
@@ -154,7 +155,7 @@ def test_auto_sweep_config_policy():
     # layout variant keeps the DRB1-validated small-regime settings
     lay = auto_sweep_config(35_059, 4_955, layout=True)  # real DRB1 shape
     assert lay == dict(active_frac=0.25, consensus_every=8,
-                       per_octave=3, rotate=8)
+                       per_octave=3, rotate=8, dense_upto=8, proposals=1)
 
 
 def test_applied_counter_matches_manual_count():
