@@ -91,7 +91,7 @@ def main() -> int:
         # task 7) — strong-scaling rows show ce growing as shards shrink
         run, arrays, make_state, info = build_sharded_sweep(
             pidx, p, mesh, per_octave=2, consensus_every=None,
-            active_frac=frac, rotate=8,
+            active_frac=frac, rotate=8, expose_parts=not weak,
         )
         key = jax.random.key(0)
         xs0, xn0 = make_state()
@@ -123,6 +123,36 @@ def main() -> int:
             "grid_consensus": info["grid_consensus"],
         }
         if not weak:
+            # per-period wall split (VERDICT r4 task 7): one consensus
+            # period of sweeps WITHOUT the collective vs WITH it; the
+            # difference isolates the per-period collective cost as
+            # actually executed on this mesh.  Compare against the
+            # docs/SCALING.md §4 model (collective ~const per period,
+            # compute ∝ ce·S_shard).
+            parts = info["parts"]
+
+            def _best(fn, reps=5):
+                out = fn(make_state()[0], key, *arrays)
+                _ = np.asarray(out[:1, :4])  # compile
+                b = float("inf")
+                for _i in range(reps):
+                    xs_t = make_state()[0]
+                    t0 = time.perf_counter()
+                    o = fn(xs_t, key, *arrays)
+                    _ = np.asarray(o[:1, :4])
+                    b = min(b, time.perf_counter() - t0)
+                return b
+
+            t_sweeps = _best(parts["sweeps_fn"])
+            t_period = _best(parts["period_fn"])
+            coll_ms = max((t_period - t_sweeps) * 1e3, 0.0)
+            row["period_wall_ms"] = round(t_period * 1e3, 3)
+            row["sweeps_wall_ms"] = round(t_sweeps * 1e3, 3)
+            row["collective_ms"] = round(coll_ms, 3)
+            row["collective_frac"] = round(
+                coll_ms / max(t_period * 1e3, 1e-9), 4
+            )
+            row["model"] = "docs/SCALING.md#4"
             # strong mode: same workload at every size — report rank
             # agreement of this mesh's output against the 1-device run
             # (the adaptive period changes the schedule per mesh size,

@@ -46,7 +46,7 @@ from ..params import PathSGDParams
 from .fastpow import zeta_table
 from .schedule import eta_schedule
 from .sweep_common import (auto_sweep_config, fit_consensus_period,
-                           phase_structure, sweep_rng)
+                           pack_choices, phase_structure, sweep_rng)
 
 __all__ = ["offset_set", "build_sweep_runner", "path_linear_sgd_sweep", "path_sgd_sort_sweep"]
 
@@ -295,8 +295,10 @@ def build_sweep_runner(
             # faster on TPU v5e).
             iota = jax.lax.iota(jnp.int32, S)
             if bucket_apply is not None:
-                # all buckets with offset <= KMAX in one fused pass
-                dsum, csum = bucket_apply(xs, pos, sidxs, eta)
+                # all buckets with offset <= KMAX in one fused pass;
+                # P > 1 proposals ride ONE packed i32 operand
+                sidx_k = sidxs[0] if P == 1 else pack_choices(sidxs)
+                dsum, csum = bucket_apply(xs, pos, sidx_k, eta)
             else:
                 dsum = jnp.zeros_like(xs)
                 csum = jnp.zeros_like(xs)

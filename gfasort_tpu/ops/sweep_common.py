@@ -230,6 +230,38 @@ def auto_sweep_config(S: int, N: int, *, layout: bool = False) -> dict:
 # below any ~ki.
 INACTIVE = np.int32(0x7FFFFFF)
 
+# Multi-proposal packing (r5): up to 4 signed choices in one i32, one
+# 8-bit two's-complement field per proposal.  A choice is ki (0..63),
+# ~ki (-64..-1) or INACTIVE8 (127, no ki can equal it).  Packing keeps
+# the fused kernel's input-array count independent of P — the unpacked
+# P-array variant blew Mosaic's scoped-VMEM stack at 6 input windows
+# (1D P=4 / nD P=3), while a field extract is 2 VPU ops.
+INACTIVE8 = np.int32(127)
+PACKED_INACTIVE = np.int32(0x7F7F7F7F)  # all four fields INACTIVE8
+
+
+def pack_choices(sidxs):
+    """Pack 1-4 signed per-step choice arrays into one i32 array
+    (8-bit fields, proposal p in bits [8p, 8p+8)).  Requires every
+    bucket index < 64 (enforced by the kernel builders)."""
+    import jax.numpy as jnp
+
+    assert 1 <= len(sidxs) <= 4
+    packed = None
+    for p, s in enumerate(sidxs):
+        s8 = jnp.where(s == INACTIVE, jnp.int32(INACTIVE8), s) & jnp.int32(0xFF)
+        word = s8 << (8 * p) if p else s8
+        packed = word if packed is None else packed | word
+    return packed
+
+
+def unpack_choice(packed, p: int):
+    """Signed 8-bit field p of a packed choice array (2 VPU ops: shift
+    up so the field's sign bit lands on bit 31, arithmetic shift down)."""
+    sl = 24 - 8 * p
+    x = packed << sl if sl else packed
+    return x >> 24
+
 
 def auto_rotate(K: int, n_dense: int) -> int:
     """Default bucket-rotation period: target ~5 large offset buckets

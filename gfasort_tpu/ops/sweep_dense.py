@@ -48,6 +48,7 @@ import os
 import numpy as np
 
 from .sweep_common import INACTIVE as INACT
+from .sweep_common import PACKED_INACTIVE, unpack_choice
 
 __all__ = [
     "dense_kernel_enabled",
@@ -139,13 +140,17 @@ def build_bucket_apply(buckets, S: int, fdt, br: int = 256,
     with 1 <= k <= KMAX and ki the bucket's index in the phase's offset
     set (sidx == ki chooses +k, sidx == ~ki chooses -k).
 
-    ``proposals`` > 1 (round 5): ``sidx`` is a LIST of that many
-    independent per-step choice arrays, and the per-(bucket, half)
-    weight is the count of proposals selecting the pair.  The expensive
-    per-bucket update math (d, mu, dx, mag — the dominant VPU cost of
-    the whole engine, docs/DESIGN.md §8) is computed ONCE and shared by
-    all proposals; each extra proposal adds only its mask compares, so
-    applied updates scale ~P× for ~(1 + small)× the op budget.
+    ``proposals`` > 1 (round 5): ``sidx`` is ONE PACKED i32 array
+    (:func:`gfasort_tpu.ops.sweep_common.pack_choices` — P <= 4 signed
+    8-bit fields), and the per-(bucket, half) weight is the count of
+    proposals selecting the pair.  The expensive per-bucket update
+    math (d, mu, dx, mag — the dominant VPU cost of the whole engine,
+    docs/DESIGN.md §8) is computed ONCE and shared by all proposals;
+    each extra proposal adds only a 2-op field extract plus its mask
+    compares, so applied updates scale ~P× for ~(1 + small)× the op
+    budget.  Packing keeps the kernel at 3 input windows for any P —
+    the unpacked P-array variant blew the scoped-VMEM stack at 6
+    windows.
 
     The r4 iota end guards are gone: a ``+k``/``-k`` choice is
     guaranteed in-path by the sampler (paths are contiguous in step
@@ -173,15 +178,19 @@ def build_bucket_apply(buckets, S: int, fdt, br: int = 256,
     buckets = [(int(k), int(ki)) for k, ki in buckets]
     assert all(1 <= k <= _KMAX_HW for k, _ in buckets)
     P = int(proposals)
+    if P > 1:
+        # packed 8-bit fields: bucket indices must fit signed 8 bits
+        assert P <= 4 and all(ki < 64 for _, ki in buckets)
+    SIDX_FILL = INACT if P == 1 else PACKED_INACTIVE
 
-    def _as_list(sidx):
-        return list(sidx) if isinstance(sidx, (list, tuple)) else [sidx]
+    def _fields(s):
+        """Per-proposal signed choice views of the sidx operand."""
+        return [s] if P == 1 else [unpack_choice(s, p) for p in range(P)]
 
     if interpret:
         # Non-TPU (test) path: same math in plain jnp ops.
         def apply_ref(xs, pos, sidx, eta):
-            sidxs = _as_list(sidx)
-            assert len(sidxs) == P
+            sidxs = _fields(sidx)
             one = jnp.asarray(1.0, xs.dtype)
             dsum = jnp.zeros_like(xs)
             csum = jnp.zeros_like(xs)
@@ -191,7 +200,7 @@ def build_bucket_apply(buckets, S: int, fdt, br: int = 256,
                     kk = sgn * k
                     xs_o = _shift_ref(jnp, xs, kk, 0)
                     pos_o = _shift_ref(jnp, pos, kk, 0)
-                    sidxs_o = [_shift_ref(jnp, s, kk, INACT) for s in sidxs]
+                    sidxs_o = _fields(_shift_ref(jnp, sidx, kk, SIDX_FILL))
                     w = jnp.zeros_like(xs)
                     for s, s_o in zip(sidxs, sidxs_o):
                         if sgn > 0:
@@ -220,7 +229,7 @@ def build_bucket_apply(buckets, S: int, fdt, br: int = 256,
         return apply_ref
 
     qs_all = _qs_for(buckets)
-    n_arr = 2 + P  # xs, pos, sidx_0..sidx_{P-1}
+    n_arr = 3  # xs, pos, sidx (packed when P > 1)
     BR = _fit_br(int(br), n_arr, len(qs_all))
     BLK = BR * _LANE
     nb = -(-S // BLK)
@@ -265,7 +274,7 @@ def build_bucket_apply(buckets, S: int, fdt, br: int = 256,
 
         xs_h = vert(scratch[0])
         pos_h = vert(scratch[1])
-        sidx_hs = [vert(scratch[2 + p]) for p in range(P)]
+        sidx_h = vert(scratch[2])
 
         def view(hq, k):
             q, rr = divmod(k, _LANE)
@@ -277,7 +286,7 @@ def build_bucket_apply(buckets, S: int, fdt, br: int = 256,
 
         xs = view(xs_h, 0)
         pos = view(pos_h, 0)
-        sidxs = [view(h, 0) for h in sidx_hs]
+        sidxs = _fields(view(sidx_h, 0))  # per-proposal choice fields
         eta = eta_ref[0, 0]
 
         one = jnp.float32(1.0)
@@ -295,9 +304,9 @@ def build_bucket_apply(buckets, S: int, fdt, br: int = 256,
                 kk = sgn * k
                 xs_o = view(xs_h, kk)
                 pos_o = view(pos_h, kk)
+                sidxs_o = _fields(view(sidx_h, kk))
                 w = jnp.zeros((_LANE, BR), jnp.float32)
-                for sidx, h in zip(sidxs, sidx_hs):
-                    sidx_o = view(h, kk)
+                for sidx, sidx_o in zip(sidxs, sidxs_o):
                     if sgn > 0:
                         wb = (sidx == ki) | (sidx_o == ~ki)
                     else:
@@ -337,19 +346,18 @@ def build_bucket_apply(buckets, S: int, fdt, br: int = 256,
             jax.ShapeDtypeStruct((rows, _LANE), jnp.float32, vma=vma),
             jax.ShapeDtypeStruct((rows, _LANE), jnp.float32, vma=vma),
         ],
-        scratch_shapes=(
-            [pltpu.VMEM((W, _LANE), jnp.float32),
-             pltpu.VMEM((W, _LANE), jnp.float32)]
-            + [pltpu.VMEM((W, _LANE), jnp.int32) for _ in range(P)]
-            + [pltpu.SemaphoreType.DMA((n_arr,))]
-        ),
+        scratch_shapes=[
+            pltpu.VMEM((W, _LANE), jnp.float32),
+            pltpu.VMEM((W, _LANE), jnp.float32),
+            pltpu.VMEM((W, _LANE), jnp.int32),
+            pltpu.SemaphoreType.DMA((n_arr,)),
+        ],
         interpret=interpret,
     )
 
     def apply(xs, pos, sidx, eta):
-        """xs/pos [S] fdt, sidx (list of) [S] i32 -> (dsum, csum)."""
-        sidxs = _as_list(sidx)
-        assert len(sidxs) == P
+        """xs/pos [S] fdt, sidx [S] i32 (packed for P > 1) ->
+        (dsum, csum) [S] fdt."""
         pad = S_pad - S
 
         def pad2(a, fill):
@@ -359,9 +367,9 @@ def build_bucket_apply(buckets, S: int, fdt, br: int = 256,
             return jnp.pad(a, ((_HR, _HR), (0, 0)), constant_values=fill)
 
         args = [pad2(xs.astype(jnp.float32), 0),
-                pad2(pos.astype(jnp.float32), 0)]
-        args += [pad2(s, INACT) for s in sidxs]
-        args.append(jnp.full((1, 1), eta, jnp.float32))
+                pad2(pos.astype(jnp.float32), 0),
+                pad2(sidx, SIDX_FILL),
+                jnp.full((1, 1), eta, jnp.float32)]
         dsum, csum = call(*args)
         return (
             dsum.reshape(-1)[:S].astype(xs.dtype),
@@ -392,10 +400,11 @@ def build_dense_apply_nd(n_dense: int, S: int, D: int, fdt, br: int = 256,
     magnitude over D dims, zero-distance guard on deltas[0], r clamp.
     ``buckets`` defaults to the dense set [(k, k-1) for k <= n_dense].
 
-    ``proposals`` > 1: ``sidx`` is a list of that many choice arrays
-    and the per-(bucket, half) weight is the count of proposals
-    selecting the pair (see :func:`build_bucket_apply`; the end-coin
-    and the update math are shared, only the partner choice varies).
+    ``proposals`` > 1: ``sidx`` is ONE PACKED i32 array
+    (sweep_common.pack_choices, P <= 4 signed 8-bit fields) and the
+    per-(bucket, half) weight is the count of proposals selecting the
+    pair (see :func:`build_bucket_apply`; the end-coin and the update
+    math are shared, only the partner choice varies).
 
     br=256 (not 512): the input windows plus their transposed halo'd
     copies and the unrolled buckets' intermediates must fit the 16MB
@@ -419,14 +428,16 @@ def build_dense_apply_nd(n_dense: int, S: int, D: int, fdt, br: int = 256,
     buckets = [(int(k), int(ki)) for k, ki in buckets]
     assert all(1 <= k <= _KMAX_HW for k, _ in buckets)
     P = int(proposals)
+    if P > 1:
+        assert P <= 4 and all(ki < 64 for _, ki in buckets)
+    SIDX_FILL = INACT if P == 1 else PACKED_INACTIVE
 
-    def _as_list(sidx):
-        return list(sidx) if isinstance(sidx, (list, tuple)) else [sidx]
+    def _fields(s):
+        return [s] if P == 1 else [unpack_choice(s, p) for p in range(P)]
 
     if interpret:
         def apply_ref(my_pos, sidx, my_c, eta):
-            sidxs = _as_list(sidx)
-            assert len(sidxs) == P
+            sidxs = _fields(sidx)
             one = jnp.asarray(1.0, my_pos.dtype)
             acc = [jnp.zeros_like(my_pos) for _ in range(D)]
             wacc = jnp.zeros_like(my_pos)
@@ -436,7 +447,7 @@ def build_dense_apply_nd(n_dense: int, S: int, D: int, fdt, br: int = 256,
                     kk = sgn * k
                     pos_o = _shift_ref(jnp, my_pos, kk, 0)
                     c_o = [_shift_ref(jnp, c, kk, 0) for c in my_c]
-                    sidxs_o = [_shift_ref(jnp, s, kk, INACT) for s in sidxs]
+                    sidxs_o = _fields(_shift_ref(jnp, sidx, kk, SIDX_FILL))
                     w = jnp.zeros_like(my_pos)
                     for s, s_o in zip(sidxs, sidxs_o):
                         if sgn > 0:
@@ -469,7 +480,7 @@ def build_dense_apply_nd(n_dense: int, S: int, D: int, fdt, br: int = 256,
         return apply_ref
 
     qs_all = _qs_for(buckets)
-    n_in = 1 + P + D  # pos, sidx_0..sidx_{P-1}, c_0..c_{D-1}
+    n_in = 2 + D  # pos, sidx (packed when P > 1), c_0..c_{D-1}
     # mid buckets (k > 8) in the nD kernel: force BR=128 — measured
     # OOMs at BR=256 do not track the n_q model reliably here (one
     # n_q=7 phase compiled, another blew the 16MB stack by 720KB),
@@ -514,8 +525,8 @@ def build_dense_apply_nd(n_dense: int, S: int, D: int, fdt, br: int = 256,
             }
 
         pos_h = vert(scratch[0])
-        sidx_hs = [vert(scratch[1 + p]) for p in range(P)]
-        c_h = [vert(scratch[1 + P + d]) for d in range(D)]
+        sidx_h = vert(scratch[1])
+        c_h = [vert(scratch[2 + d]) for d in range(D)]
 
         def view(hq, k):
             q, rr = divmod(k, _LANE)
@@ -526,7 +537,7 @@ def build_dense_apply_nd(n_dense: int, S: int, D: int, fdt, br: int = 256,
             return jnp.concatenate([a, b], axis=0)
 
         pos = view(pos_h, 0)
-        sidxs = [view(h, 0) for h in sidx_hs]
+        sidxs = _fields(view(sidx_h, 0))
         cvs = [view(h, 0) for h in c_h]
         eta = eta_ref[0, 0]
 
@@ -540,9 +551,9 @@ def build_dense_apply_nd(n_dense: int, S: int, D: int, fdt, br: int = 256,
                 c_o = [view(h, kk) for h in c_h]
                 # no end guards: sampler guarantee + INACT halo (see
                 # build_bucket_apply docstring)
+                sidxs_o = _fields(view(sidx_h, kk))
                 w = jnp.zeros((_LANE, BR), jnp.float32)
-                for sidx, h in zip(sidxs, sidx_hs):
-                    sidx_o = view(h, kk)
+                for sidx, sidx_o in zip(sidxs, sidxs_o):
                     if sgn > 0:
                         wb = (sidx == ki) | (sidx_o == ~ki)
                     else:
@@ -583,8 +594,8 @@ def build_dense_apply_nd(n_dense: int, S: int, D: int, fdt, br: int = 256,
         out_shape=[jax.ShapeDtypeStruct((rows, _LANE), jnp.float32, vma=vma)
                    for _ in range(D + 1)],
         scratch_shapes=(
-            [pltpu.VMEM((W, _LANE), jnp.float32)]
-            + [pltpu.VMEM((W, _LANE), jnp.int32) for _ in range(P)]
+            [pltpu.VMEM((W, _LANE), jnp.float32),
+             pltpu.VMEM((W, _LANE), jnp.int32)]
             + [pltpu.VMEM((W, _LANE), jnp.float32) for _ in range(D)]
             + [pltpu.SemaphoreType.DMA((n_in,))]
         ),
@@ -592,8 +603,6 @@ def build_dense_apply_nd(n_dense: int, S: int, D: int, fdt, br: int = 256,
     )
 
     def apply(my_pos, sidx, my_c, eta):
-        sidxs = _as_list(sidx)
-        assert len(sidxs) == P
         pad = S_pad - S
 
         def pad2(a, fill):
@@ -602,8 +611,8 @@ def build_dense_apply_nd(n_dense: int, S: int, D: int, fdt, br: int = 256,
             a = a.reshape(rows, _LANE)
             return jnp.pad(a, ((_HR, _HR), (0, 0)), constant_values=fill)
 
-        args = [pad2(my_pos.astype(jnp.float32), 0)]
-        args += [pad2(s, INACT) for s in sidxs]
+        args = [pad2(my_pos.astype(jnp.float32), 0),
+                pad2(sidx, SIDX_FILL)]
         args += [pad2(c.astype(jnp.float32), 0) for c in my_c]
         args.append(jnp.full((1, 1), eta, jnp.float32))
         outs = call(*args)

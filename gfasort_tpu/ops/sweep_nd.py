@@ -122,7 +122,10 @@ def make_nd_sweep_fn(offs_p, S, D, params, zetas, fdt, active_frac,
 
         iota = jax.lax.iota(jnp.int32, S)
         if dense_apply is not None:
-            acc, wacc = dense_apply(my_pos, sidxs, my_c, eta)
+            from .sweep_common import pack_choices
+
+            sidx_k = sidxs[0] if P == 1 else pack_choices(sidxs)
+            acc, wacc = dense_apply(my_pos, sidx_k, my_c, eta)
         else:
             acc = [jnp.zeros((S,), cs.dtype) for _ in range(D)]
             wacc = jnp.zeros((S,), cs.dtype)

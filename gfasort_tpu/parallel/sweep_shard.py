@@ -160,9 +160,18 @@ def build_sharded_sweep(
     consensus_every: Optional[int] = None,
     active_frac: Optional[float] = None,
     rotate=None,
+    expose_parts: bool = False,
 ):
     """Returns (run, placed_arrays, make_state, info); run(xs_sh,
-    x_node0, key, *arrays) executes the full schedule under shard_map."""
+    x_node0, key, *arrays) executes the full schedule under shard_map.
+
+    ``expose_parts=True`` additionally puts two jitted single-period
+    programs in ``info["parts"]`` for scaling diagnostics
+    (bench_scaling.py, VERDICT r4 task 7):
+    ``sweeps_fn(xs, key, *arrays)`` runs ONE consensus period of
+    sweeps WITHOUT the collective; ``period_fn`` runs the same period
+    WITH it — their wall-time difference isolates the per-period
+    collective cost on the mesh."""
     import jax
     import jax.numpy as jnp
     from jax.experimental.shard_map import shard_map
@@ -470,6 +479,48 @@ def build_sharded_sweep(
             "rotate": rotate, "consensus_every": consensus_every,
             "grid_consensus": grid is not None,
             "grid_coverage": grid["coverage"] if grid is not None else None}
+
+    if expose_parts:
+        n_phase = len(sweep_fns)
+        n_rot = max(consensus_every // n_phase, 1)
+
+        def _sweeps_body(xs, base, pos, rank_a, cnt_a):
+            def rot_block(j, xs):
+                for rr in range(n_phase):
+                    idx = j * n_phase + rr
+                    r = jnp.minimum(idx, n_sweeps - 1)
+                    key = jax.random.fold_in(base, idx)
+                    xs = sweep_fns[rr](
+                        xs, key, etas_j[r], cool_j[r], pos, rank_a, cnt_a
+                    )
+                return xs
+            return jax.lax.fori_loop(0, n_rot, rot_block, xs)
+
+        def _mk(with_consensus):
+            def device_period(xs, base_key, pos, rank_a, cnt_a, node_a,
+                              inv_cnt_a, has_steps_a, *cons):
+                xs, pos, rank_a, cnt_a, node_a = (
+                    xs[0], pos[0], rank_a[0], cnt_a[0], node_a[0]
+                )
+                cons_l = tuple(c[0] for c in cons)
+                dev = jax.lax.axis_index(axis)
+                base = jax.random.fold_in(base_key, dev)
+                xs = _sweeps_body(xs, base, pos, rank_a, cnt_a)
+                if with_consensus:
+                    w_a = (node_a >= 0).astype(xs.dtype)
+                    xs, _ = consensus(xs, node_a, w_a, inv_cnt_a, *cons_l)
+                return xs[None]
+
+            return jax.jit(shard_map(
+                device_period,
+                mesh=mesh,
+                in_specs=(P(axis), P(), P(axis), P(axis), P(axis),
+                          P(axis), P(), P()) + cons_specs,
+                out_specs=P(axis),
+            ))
+
+        info["parts"] = {"sweeps_fn": _mk(False), "period_fn": _mk(True)}
+
     return run, arrays, make_state, info
 
 
