@@ -62,23 +62,26 @@ FULL = os.environ.get("BENCH_FULL", "0") == "1"
 # Spearman 0.9999989 vs 0.9999985) — r3 measurement; section 3
 # certifies the exact timed config in-run.
 QUALITY_CFG = dict(consensus_every=8, per_octave=2, active_frac=1.0,
-                   rotate=8, dense_upto=4, proposals=3)
+                   rotate=8, dense_upto=4, proposals=4)
 # Round-5 additions to the r4 config (ce=96/po=2/rotate=12, see the
 # r2-r4 probe history in git):
 #   * dense_upto=4 — the dense jump grid coarsens to {1,2,3,4,6,8}
 #     (same <=8 every-phase treatment): 2 fewer buckets/phase,
 #     1,740 -> 1,881 M/s, 100k cert unchanged (scratch/r5_bucket_probe)
-#   * proposals=3 — each step draws 3 independent partners per sweep
-#     and the bucket passes share ONE update-math evaluation (only the
-#     mask compares scale with P): 1,950 -> 3,606 M/s measured, cert
-#     flat-to-BETTER (2.97e-4/2.01e-4 vs 2.99e-4/2.06e-4 at
-#     iter30/100).  P=4 hits a Mosaic scoped-VMEM limit.
+#   * proposals=4 — each step draws 4 independent partners per sweep
+#     (packed into ONE i32, 8-bit fields) and the bucket passes share
+#     ONE update-math evaluation (only the mask extracts/compares
+#     scale with P): 1,950 -> 2,974 -> 3,992 -> 4,770 M/s measured at
+#     P=1..4; certs flat-to-BETTER at every P (P=4: 2.96e-4/2.00e-4
+#     at iter30/100 vs 2.99e-4/2.06e-4 for P=1; quality mode
+#     1.88e-4).  P<=4 is the packing limit; the unpacked variant blew
+#     Mosaic's scoped-VMEM stack.
 #   * the r4 iota end guards in the fused kernel are gone (sampler
 #     guarantee + INACT halo padding): part of the P=1 1,881->1,950.
 # rotate=16 still hits the Mosaic compile bug (scratch/r5_bucket_probe
 # retests it every run).
 THROUGHPUT_CFG = dict(consensus_every=96, per_octave=2, active_frac=1.0,
-                      rotate=12, dense_upto=4, proposals=3)
+                      rotate=12, dense_upto=4, proposals=4)
 
 
 def _fit_ce(rounds: int, ce: int) -> int:
@@ -292,12 +295,18 @@ def main() -> int:
     ND_CE = _fit_ce(ROUNDS // 2, 48)
     ND_ROT = 12
     ND_FRAC = 1.0
+    # r5: same dense-grid + packed multi-proposal wins as 1D (2D
+    # 672 -> 2,001 M/s, 3D 526 -> 1,669 at P=4; stress ratios 0.909 /
+    # 0.910 — still beat the oracle; scratch/r5_packed_probe.py)
+    ND_DU = 4
+    ND_P = 4
     if ND_CE != 48:
         err(f"[bench] WARNING: nd consensus_every 48 does not divide "
             f"rounds//2={ROUNDS // 2}; using {ND_CE}")
     nd = bench_sweep_nd(pidx, dims=2, rounds=ROUNDS // 2,
                         repeats=2 if FULL else 1, consensus_every=ND_CE,
-                        rotate=ND_ROT, active_frac=ND_FRAC)
+                        rotate=ND_ROT, active_frac=ND_FRAC,
+                        dense_upto=ND_DU, proposals=ND_P)
     err(f"[bench] 2D layout sweep: {nd}")
     result["nd_layout"] = {
         "value": round(nd["updates_per_s"], 1),
@@ -310,7 +319,8 @@ def main() -> int:
 
     nd3 = bench_sweep_nd(pidx, dims=3, rounds=ROUNDS // 2,
                          repeats=2 if FULL else 1, consensus_every=ND_CE,
-                         rotate=ND_ROT, active_frac=ND_FRAC)
+                         rotate=ND_ROT, active_frac=ND_FRAC,
+                         dense_upto=ND_DU, proposals=ND_P)
     err(f"[bench] 3D layout sweep: {nd3}")
     result["nd_layout_3d"] = {
         "value": round(nd3["updates_per_s"], 1),
@@ -326,7 +336,8 @@ def main() -> int:
     ln = int(os.environ.get("BENCH_CERT_LAYOUT_NODES", 20_000))
     qn = layout_quality_vs_oracle(
         n_nodes=ln, steps_per_path=ln, consensus_every=ND_CE,
-        rotate=ND_ROT, active_frac=ND_FRAC,
+        rotate=ND_ROT, active_frac=ND_FRAC, dense_upto=ND_DU,
+        proposals=ND_P,
     )
     err(f"[bench] 2D layout certification (vs oracle): {qn}")
     layout_ok = bool(
@@ -346,7 +357,8 @@ def main() -> int:
 
     qn3 = layout_quality_vs_oracle(
         n_nodes=ln, steps_per_path=ln, dims=3, consensus_every=ND_CE,
-        rotate=ND_ROT, active_frac=ND_FRAC,
+        rotate=ND_ROT, active_frac=ND_FRAC, dense_upto=ND_DU,
+        proposals=ND_P,
     )
     err(f"[bench] 3D layout certification (vs oracle): {qn3}")
     layout3_ok = bool(

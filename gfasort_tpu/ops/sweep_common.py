@@ -189,13 +189,15 @@ def auto_sweep_config(S: int, N: int, *, layout: bool = False) -> dict:
       coarsens to {1,2,3,4,6,8} (2 fewer VPU-bound buckets/phase, +8%
       rate, 100k cert unchanged to 3 digits; scratch/r5_bucket_probe).
       Small regime keeps the exact 1..8 grid.
-    * ``proposals`` (r5) — 3 in the large regime: P independent
-      partner draws per step per sweep share ONE bucket-pass update
-      evaluation (~1.85x rate); cert flat-to-BETTER at the 100k shape
-      (2.97e-4/2.01e-4 at iter30/100 vs 2.99e-4/2.06e-4 for P=1) and
-      validated at 1M/4M in the r5 calibration matrix (ROUND5_NOTES).
-      Small regime keeps P=1 (DRB1-scale fixtures were certified
-      there, and sweep cost is negligible anyway).
+    * ``proposals`` (r5) — 4 in the large regime: P independent
+      partner draws per step per sweep (packed into one i32) share ONE
+      bucket-pass update evaluation (1,950 -> 4,770 M upd/s at the
+      bench shape); certs flat-to-BETTER at every P (P=4 1D
+      2.96e-4/2.00e-4 at iter30/100 vs 2.99e-4/2.06e-4 for P=1;
+      layout stress ratios 0.909/0.910) and validated at the genome
+      calibration shape (ROUND5_NOTES matrix).  Small regime keeps
+      P=1 (DRB1-scale fixtures were certified there, and sweep cost
+      is negligible anyway).
     """
     floor = 0.25 if layout else 1.0 / 16.0
     spn = S / max(N, 1)  # path redundancy: steps per node
@@ -213,7 +215,7 @@ def auto_sweep_config(S: int, N: int, *, layout: bool = False) -> dict:
             per_octave=3,
             rotate=12 if large else 8,
             dense_upto=4 if large else 8,
-            proposals=3 if large else 1,
+            proposals=4 if large else 1,
         )
     return dict(
         active_frac=frac,
@@ -221,7 +223,7 @@ def auto_sweep_config(S: int, N: int, *, layout: bool = False) -> dict:
         per_octave=2 if large else 4,
         rotate=12 if large else "auto",
         dense_upto=4 if large else 8,
-        proposals=3 if large else 1,
+        proposals=4 if large else 1,
     )
 
 # Sentinel "no partner chosen" value emitted by sample_block and matched
