@@ -50,6 +50,8 @@ def build_sharded_sweep_nd(
     consensus_every: Optional[int] = None,
     active_frac: Optional[float] = None,
     rotate=None,
+    dense_upto: Optional[int] = None,
+    proposals: Optional[int] = None,
 ):
     """Returns (run, placed_arrays, make_state, info); run(cs_sh,
     cs_node_init, key, *arrays) executes the full layout schedule under
@@ -109,9 +111,14 @@ def build_sharded_sweep_nd(
         active_frac = _auto["active_frac"]
     if rotate is None:
         rotate = _auto["rotate"]
+    if dense_upto is None:
+        dense_upto = _auto.get("dense_upto", 8)
+    if proposals is None:
+        proposals = _auto.get("proposals", 1)
+    PP = max(1, int(proposals))
 
     max_jump = max(1, min(int(params.space), pidx.max_path_step_count - 1))
-    offs = offset_set(max_jump, per_octave)
+    offs = offset_set(max_jump, per_octave, dense_upto)
     K = len(offs)
     n_dense = int((offs <= 8).sum())
 
@@ -120,7 +127,8 @@ def build_sharded_sweep_nd(
         offs, rotate, consensus_every
     )
 
-    updates_per_sweep = max(1, int(S * active_frac))
+    # multi-proposal sweeps (r5, see ops/sweep_nd.py)
+    updates_per_sweep = PP * max(1, int(S * active_frac))
 
     etas = eta_schedule(
         1.0 / params.eta_max, 1.0, params.iter_max,
@@ -148,7 +156,7 @@ def build_sharded_sweep_nd(
 
     sweep_fns = [
         make_nd_sweep_fn(po_, L, D, params, zetas, fdt, active_frac,
-                         dense_vma=frozenset({axis}))
+                         dense_vma=frozenset({axis}), proposals=PP)
         for po_ in phase_offsets
     ]
 
@@ -296,6 +304,7 @@ def build_sharded_sweep_nd(
 
     info = {
         "n_sweeps": n_sweeps, "updates_per_sweep": updates_per_sweep,
+        "proposals": PP,
         "active_frac": active_frac, "n_offsets": K, "shard_len": L,
         "rotate": rotate, "consensus_every": consensus_every,
         "grid_consensus": grid is not None,

@@ -160,6 +160,8 @@ def build_sharded_sweep(
     consensus_every: Optional[int] = None,
     active_frac: Optional[float] = None,
     rotate=None,
+    dense_upto: Optional[int] = None,
+    proposals: Optional[int] = None,
     expose_parts: bool = False,
 ):
     """Returns (run, placed_arrays, make_state, info); run(xs_sh,
@@ -204,9 +206,14 @@ def build_sharded_sweep(
         active_frac = _auto["active_frac"]
     if rotate is None:
         rotate = _auto["rotate"]
+    if dense_upto is None:
+        dense_upto = _auto.get("dense_upto", 8)
+    if proposals is None:
+        proposals = _auto.get("proposals", 1)
+    PP = max(1, int(proposals))
 
     max_jump = max(1, min(int(params.space), pidx.max_path_step_count - 1))
-    offs = offset_set(max_jump, per_octave)
+    offs = offset_set(max_jump, per_octave, dense_upto)
     K = len(offs)
     n_dense = int((offs <= 8).sum())
 
@@ -215,7 +222,9 @@ def build_sharded_sweep(
         offs, rotate, consensus_every
     )
 
-    updates_per_sweep = max(1, int(S * active_frac))
+    # multi-proposal sweeps (r5, see ops/sweep.py): P independent
+    # partner draws per step per sweep share one bucket pass
+    updates_per_sweep = PP * max(1, int(S * active_frac))
 
     etas = eta_schedule(
         1.0 / params.eta_max, 1.0, params.iter_max,
@@ -261,7 +270,7 @@ def build_sharded_sweep(
             kbuckets = [(int(offs_p[ki]), ki) for ki in range(Kp)
                         if offs_p[ki] <= kmax]
             bucket_apply = build_bucket_apply(
-                kbuckets, L, fdt, vma=frozenset({axis})
+                kbuckets, L, fdt, vma=frozenset({axis}), proposals=PP
             )
             served = {ki for _, ki in kbuckets}
         else:
@@ -269,14 +278,19 @@ def build_sharded_sweep(
             served = set()
 
         def local_sweep(xs, key, eta, cooling, pos, rank_a, cnt_a):
-            from ..ops.sweep_common import sweep_rng
+            from ..ops.sweep_common import pack_choices, sweep_rng
 
-            bits, u = sweep_rng(key, L, fdt)
-            sidx = sample_block(bits, u, cooling, rank_a, cnt_a, active_frac)
+            sidxs = []
+            for pi in range(PP):
+                kp = key if PP == 1 else jax.random.fold_in(key, pi)
+                bits, u = sweep_rng(kp, L, fdt)
+                sidxs.append(sample_block(
+                    bits, u, cooling, rank_a, cnt_a, active_frac))
 
             iota = jax.lax.iota(jnp.int32, L)
             if bucket_apply is not None:
-                dsum, csum = bucket_apply(xs, pos, sidx, eta)
+                sidx_k = sidxs[0] if PP == 1 else pack_choices(sidxs)
+                dsum, csum = bucket_apply(xs, pos, sidx_k, eta)
             else:
                 dsum = jnp.zeros_like(xs)
                 csum = jnp.zeros_like(xs)
@@ -285,7 +299,7 @@ def build_sharded_sweep(
                     continue
                 k = int(offs_p[ki])
 
-                def half(shift, w_mine, w_theirs):
+                def half(shift, pairs):
                     # in-path validity comes from the sampler's offset
                     # clamp (shards are path-aligned, so a path never
                     # spans shards); only the per-shard roll wraparound
@@ -293,10 +307,13 @@ def build_sharded_sweep(
                     pos_o = jnp.roll(pos, shift)
                     xs_o = jnp.roll(xs, shift)
                     guard = iota < L + shift if shift < 0 else iota >= shift
-                    w_bool = w_mine | (w_theirs & guard)
+                    w = None
+                    for w_mine, w_theirs in pairs:
+                        wb = (w_mine | (w_theirs & guard)).astype(xs.dtype)
+                        w = wb if w is None else w + wb
                     d = jnp.abs(pos - pos_o)
-                    valid = (d != 0) & w_bool
-                    w = valid.astype(xs.dtype)
+                    valid = d != 0
+                    w = jnp.where(valid, w, fdt(0.0))
                     safe = jnp.where(valid, d, 1.0)
                     mu = jnp.minimum(eta / safe, 1.0)
                     dx = xs - xs_o
@@ -308,8 +325,10 @@ def build_sharded_sweep(
                     r_x = mu * (mag - safe) * half_sgn
                     return -w * r_x, w
 
-                d1, w1 = half(-k, sidx == ki, jnp.roll(sidx, -k) == ~ki)
-                d2, w2 = half(+k, sidx == ~ki, jnp.roll(sidx, +k) == ki)
+                d1, w1 = half(-k, [(s == ki, jnp.roll(s, -k) == ~ki)
+                                   for s in sidxs])
+                d2, w2 = half(+k, [(s == ~ki, jnp.roll(s, +k) == ki)
+                                   for s in sidxs])
                 dsum = dsum + d1 + d2
                 csum = csum + w1 + w2
             return xs + dsum / jnp.maximum(csum, 1)
@@ -475,6 +494,7 @@ def build_sharded_sweep(
         )
 
     info = {"n_sweeps": n_sweeps, "updates_per_sweep": updates_per_sweep,
+            "proposals": PP,
             "active_frac": active_frac, "n_offsets": K, "shard_len": L,
             "rotate": rotate, "consensus_every": consensus_every,
             "grid_consensus": grid is not None,
