@@ -389,6 +389,10 @@ def make_offset_sampler(offs: np.ndarray, params, zetas: np.ndarray, fdt):
         z = jnp.where(uz < 1.0, 1, jnp.where(uz < zeta2theta, 2, g))
         return jnp.minimum(z, jump_space)
 
+    import os as _os
+
+    snap_mode = _os.environ.get("GFASORT_SNAP", "stoch")
+
     def sample_block(bits, u, cooling, rank_a, cnt_a, active_frac):
         """Single signed choice array ``sidx`` for one sweep:
         ``ki`` = chose partner at +offs[ki], ``~ki`` (= -ki-1) = chose
@@ -411,6 +415,26 @@ def make_offset_sampler(offs: np.ndarray, params, zetas: np.ndarray, fdt):
         z_unif = 1 + (u * jnp.maximum(avail, 1).astype(fdt)).astype(jnp.int32)
         z = jnp.where(use_zipf, z_zipf, z_unif)
         oidx = snap_idx_exact(z)
+        if snap_mode == "stoch":
+            # Mean-preserving stochastic snap (r5): snapping DOWN
+            # systematically shortens jumps by up to the grid ratio
+            # (~sqrt(2) at po=2), a bias the genome-scale cert exposed
+            # as systematic engine-vs-oracle disagreement (engine-self
+            # 8e-4 vs engine-oracle 5e-3 at 4M nodes — ROUND5_NOTES).
+            # Promote to the next offset with probability
+            # (z - lo) / (hi - lo), so E[snapped] = z exactly; the
+            # promotion is suppressed when the upper offset exceeds
+            # the available rank range.  Uses 9 spare bits of the
+            # already-generated coin word (bits 20-28; 29-31 are the
+            # direction/zipf/end coins, 0-19 the activation draw).
+            off_lo = off_of(oidx).astype(fdt)
+            off_hi = off_of(jnp.minimum(oidx + 1, K - 1))
+            u2 = ((bits >> 20) & 0x1FF).astype(fdt) * fdt(1.0 / 512.0)
+            qfrac = (z.astype(fdt) - off_lo) / jnp.maximum(
+                off_hi.astype(fdt) - off_lo, 1.0
+            )
+            promote = (u2 < qfrac) & (off_hi <= avail)
+            oidx = jnp.where(promote, oidx + 1, oidx)
         # Enforce the snapped jump within the available rank range HERE,
         # where avail is already in registers: downstream sweep halves
         # then need NO rank/cnt reads — a choice of +offs[ki] (resp.
