@@ -52,6 +52,183 @@ class BiPath:
         return f"BiPath({self.name!r}, {len(self)} steps)"
 
 
+class EdgeSet:
+    """Set-like container for the stored edge forms with a lazy SoA
+    fast path (r5).
+
+    The reference stores edges in native vectors; a Python set of
+    (from, to) tuples costs ~3-4 s of PyObject churn to rebuild per
+    renumber at 4M edges (the dominant host cost of every reorder step
+    at genome scale).  This container keeps edges in ONE of two modes:
+
+    * ``set``   — a real Python set of tuples (general: membership,
+      add/discard); the mode every mutation runs in.
+    * ``array`` — two int64 numpy columns, produced by the VECTORIZED
+      ``remapped`` used by apply_ordering / apply_node_id_mapping
+      (~50 ms at 4M edges).  Promoted back to ``set`` lazily, only
+      when a consumer actually needs membership or mutation (C
+      materializer: native/py_assemble.cpp gfa_build_edges).
+
+    Duck-types the set operations the codebase uses (len, iteration as
+    tuples, ``in``, add/discard, ==); plain-set assignments to
+    ``graph.edges`` keep working (graph methods accept either)."""
+
+    __slots__ = ("_set", "_arr")
+
+    def __init__(self, init=None):
+        if isinstance(init, EdgeSet):
+            self._set = set(init._set) if init._set is not None else None
+            self._arr = (
+                tuple(a.copy() for a in init._arr)
+                if init._arr is not None else None
+            )
+        else:
+            self._set = set(init) if init is not None else set()
+            self._arr = None
+
+    @classmethod
+    def from_arrays(cls, ef: np.ndarray, et: np.ndarray) -> "EdgeSet":
+        es = cls.__new__(cls)
+        es._set = None
+        es._arr = (np.ascontiguousarray(ef, dtype=np.int64),
+                   np.ascontiguousarray(et, dtype=np.int64))
+        return es
+
+    def _materialize(self) -> set:
+        if self._set is None:
+            ef, et = self._arr
+            s = None
+            if len(ef) >= 4096:
+                try:
+                    from .native.build import load_py
+
+                    pylib = load_py()
+                    if pylib is not None:
+                        import ctypes
+
+                        p = ctypes.POINTER(ctypes.c_int64)
+                        s = pylib.gfa_build_edges(
+                            len(ef), ef.ctypes.data_as(p),
+                            et.ctypes.data_as(p),
+                        )
+                except Exception:
+                    s = None
+            if s is None:
+                s = set(zip(ef.tolist(), et.tolist()))
+            self._set, self._arr = s, None
+        return self._set
+
+    def to_arrays(self):
+        """(from, to) int64 columns; fresh arrays the caller may own."""
+        if self._arr is not None:
+            return self._arr[0].copy(), self._arr[1].copy()
+        return _edge_set_to_arrays(self._set)
+
+    def remapped(self, lut: np.ndarray, drop_unmapped: bool,
+                 dedup: bool = True) -> "EdgeSet":
+        """Vectorized node-id remap (semantics of the legacy per-edge
+        loop: unmapped = lut[id] < 0 or id >= len(lut); identical
+        stored forms after a many-to-one mapping are deduped).
+        ``dedup=False`` skips the unique pass — valid when the mapping
+        is injective (apply_ordering), where distinct stored forms
+        stay distinct."""
+        if self._arr is not None:
+            ef, et = self._arr
+        else:
+            ef, et = _edge_set_to_arrays(self._set)
+        nf, nt = ef >> 1, et >> 1
+        inl_f = (nf >= 0) & (nf < len(lut))
+        inl_t = (nt >= 0) & (nt < len(lut))
+        mf = np.where(inl_f, lut[np.where(inl_f, nf, 0)], -1)
+        mt = np.where(inl_t, lut[np.where(inl_t, nt, 0)], -1)
+        if drop_unmapped:
+            keep = (mf >= 0) & (mt >= 0)
+            ef2 = (mf[keep] << 1) | (ef[keep] & 1)
+            et2 = (mt[keep] << 1) | (et[keep] & 1)
+        else:
+            mf = np.where(mf < 0, nf, mf)
+            mt = np.where(mt < 0, nt, mt)
+            ef2 = (mf << 1) | (ef & 1)
+            et2 = (mt << 1) | (et & 1)
+        if not dedup:
+            return EdgeSet.from_arrays(ef2, et2)
+        if len(ef2) and max(int(ef2.max()), int(et2.max())) < (1 << 32):
+            # dedup via one packed-u64 unique (np.unique sorts; set
+            # iteration order was never meaningful)
+            key = np.unique(
+                (ef2.astype(np.uint64) << np.uint64(32))
+                | et2.astype(np.uint64)
+            )
+            ef2 = (key >> np.uint64(32)).astype(np.int64)
+            et2 = (key & np.uint64(0xFFFFFFFF)).astype(np.int64)
+            return EdgeSet.from_arrays(ef2, et2)
+        # huge handles (>= 2^32): fall back to set dedup
+        return EdgeSet(set(zip(ef2.tolist(), et2.tolist())))
+
+    # ---- set-protocol surface the codebase uses ----
+    def __len__(self) -> int:
+        return (len(self._arr[0]) if self._set is None else len(self._set))
+
+    def __iter__(self):
+        if self._set is not None:
+            return iter(self._set)
+        ef, et = self._arr
+        return iter(zip(ef.tolist(), et.tolist()))
+
+    def __contains__(self, edge) -> bool:
+        return edge in self._materialize()
+
+    def add(self, edge) -> None:
+        self._materialize().add(edge)
+
+    def discard(self, edge) -> None:
+        self._materialize().discard(edge)
+
+    def remove(self, edge) -> None:
+        self._materialize().remove(edge)
+
+    def __eq__(self, other) -> bool:
+        if isinstance(other, EdgeSet):
+            return self._materialize() == other._materialize()
+        if isinstance(other, (set, frozenset)):
+            return self._materialize() == other
+        return NotImplemented
+
+    def __ne__(self, other) -> bool:
+        eq = self.__eq__(other)
+        return NotImplemented if eq is NotImplemented else not eq
+
+    def __repr__(self) -> str:
+        mode = "set" if self._set is not None else "array"
+        return f"EdgeSet(n={len(self)}, mode={mode})"
+
+
+def _edge_set_to_arrays(edges: set) -> Tuple[np.ndarray, np.ndarray]:
+    """Python edge set -> two int64 columns (C fast path when big)."""
+    n = len(edges)
+    ef = np.empty(n, dtype=np.int64)
+    et = np.empty(n, dtype=np.int64)
+    if n >= 4096:
+        try:
+            from .native.build import load_py
+
+            pylib = load_py()
+            if pylib is not None:
+                import ctypes
+
+                p = ctypes.POINTER(ctypes.c_int64)
+                if pylib.edge_set_to_arrays(
+                    edges, ef.ctypes.data_as(p), et.ctypes.data_as(p)
+                ) == n:
+                    return ef, et
+        except Exception:
+            pass
+    for i, (f, t) in enumerate(edges):
+        ef[i] = f
+        et[i] = t
+    return ef, et
+
+
 class BidirectedGraph:
     """Bidirected sequence graph with the reference's exact semantics."""
 
@@ -61,8 +238,10 @@ class BidirectedGraph:
         # Optional per-node rank assigned by apply_ordering (0-based).
         self.ranks: Dict[int, int] = {}
         # Stored edge forms; the complement of a stored edge is implied
-        # and never stored (src/graph_ops.rs:626-638).
-        self.edges: set[Tuple[int, int]] = set()
+        # and never stored (src/graph_ops.rs:626-638).  EdgeSet
+        # duck-types a set of (from, to) tuples; plain-set assignment
+        # also works.
+        self.edges: EdgeSet = EdgeSet()
         self.paths: List[BiPath] = []
         # GFA insertion order of node ids.  NEVER rewritten on renumber;
         # the reference keeps it stale on purpose and SGD seeding
@@ -129,25 +308,9 @@ class BidirectedGraph:
 
     def edges_to_arrays(self) -> Tuple[np.ndarray, np.ndarray]:
         """The stored edge forms as two int64 arrays (from, to)."""
-        n = len(self.edges)
-        ef = np.empty(n, dtype=np.int64)
-        et = np.empty(n, dtype=np.int64)
-        if n >= 4096:
-            from .native.build import load_py
-
-            pylib = load_py()
-            if pylib is not None:
-                import ctypes
-
-                p = ctypes.POINTER(ctypes.c_int64)
-                if pylib.edge_set_to_arrays(
-                    self.edges, ef.ctypes.data_as(p), et.ctypes.data_as(p)
-                ) == n:
-                    return ef, et
-        for i, (f, t) in enumerate(self.edges):
-            ef[i] = f
-            et[i] = t
-        return ef, et
+        if isinstance(self.edges, EdgeSet):
+            return self.edges.to_arrays()
+        return _edge_set_to_arrays(self.edges)
 
     def total_sequence_length(self) -> int:
         return sum(len(n) for n in self.nodes if n is not None)
@@ -217,56 +380,44 @@ class BidirectedGraph:
         (edges touching unmapped ids are dropped; unmapped path steps
         keep their old id, src/graph_ops.rs:1983-2020).
         """
-        native_done = False
-        if len(self.edges) >= 4096 and mapping:
-            # C fast path: rewrite the whole set through an id LUT in one
-            # pass (the per-edge Python loop costs ~5 µs/edge at scale).
-            from .native.build import load_py
+        if not mapping:
+            # legacy behavior: an empty mapping leaves paths untouched
+            # and (with drop semantics) empties the edge set
+            if not keep_unmapped:
+                self.edges = EdgeSet()
+            return
+        lut = np.full(max(mapping) + 1, -1, dtype=np.int64)
+        keys = np.fromiter(mapping.keys(), dtype=np.int64, count=len(mapping))
+        vals = np.fromiter(mapping.values(), dtype=np.int64, count=len(mapping))
+        lut[keys] = vals
+        self._remap_arrays_lut(lut, keep_unmapped, dedup=True)
 
-            pylib = load_py()
-            if pylib is not None:
-                lut = np.full(max(mapping) + 1, -1, dtype=np.int64)
-                keys = np.fromiter(mapping.keys(), dtype=np.int64, count=len(mapping))
-                vals = np.fromiter(mapping.values(), dtype=np.int64, count=len(mapping))
-                lut[keys] = vals
-                import ctypes
+    def _remap_arrays_lut(self, lut: np.ndarray, keep_unmapped: bool,
+                          dedup: bool) -> None:
+        """LUT-based core of :meth:`_remap_arrays` (lut[id] = new id,
+        -1 = unmapped; ids >= len(lut) unmapped).  Vectorized end to
+        end: even the r1-r4 C set-to-set pass cost ~3-4 s of PyObject
+        churn at 4M edges — the EdgeSet array mode removes the churn
+        entirely and materializes a real set only on demand."""
+        es = (self.edges if isinstance(self.edges, EdgeSet)
+              else EdgeSet(self.edges))
+        self.edges = es.remapped(
+            lut, drop_unmapped=not keep_unmapped, dedup=dedup
+        )
 
-                self.edges = pylib.remap_edge_set(
-                    self.edges,
-                    lut.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-                    len(lut),
-                    0 if keep_unmapped else 1,
-                )
-                native_done = True
-        if not native_done:
-            new_edges: set[Tuple[int, int]] = set()
-            for f, t in self.edges:
-                fid, tid = H.node_id(f), H.node_id(t)
-                if keep_unmapped:
-                    nf = mapping.get(fid, fid)
-                    nt = mapping.get(tid, tid)
-                else:
-                    if fid not in mapping or tid not in mapping:
-                        continue
-                    nf, nt = mapping[fid], mapping[tid]
-                new_edges.add(
-                    (H.encode(nf, H.is_reverse(f)), H.encode(nt, H.is_reverse(t)))
-                )
-            self.edges = new_edges
-
-        if mapping:
-            max_old = max(
-                (max(mapping), *(int(p.steps.max() >> 1) for p in self.paths if len(p))),
-                default=0,
-            )
-            lut = np.arange(max_old + 1, dtype=np.int64)
-            keys = np.fromiter(mapping.keys(), dtype=np.int64, count=len(mapping))
-            vals = np.fromiter(mapping.values(), dtype=np.int64, count=len(mapping))
-            lut[keys] = vals
-            for path in self.paths:
-                if len(path):
-                    ids = path.steps >> 1
-                    path.steps = (lut[ids] << 1) | (path.steps & 1)
+        # paths: unmapped step ids keep their old id under BOTH
+        # semantics (src/graph_ops.rs:52-83, :1983-2020)
+        max_old = max(
+            (len(lut) - 1,
+             *(int(p.steps.max() >> 1) for p in self.paths if len(p))),
+        )
+        plut = np.arange(max_old + 1, dtype=np.int64)
+        mapped = np.flatnonzero(lut >= 0)
+        plut[mapped] = lut[mapped]
+        for path in self.paths:
+            if len(path):
+                ids = path.steps >> 1
+                path.steps = (plut[ids] << 1) | (path.steps & 1)
 
     def apply_node_id_mapping(self, mapping: Dict[int, int]) -> None:
         """Renumber nodes through ``mapping`` (src/graph_ops.rs:36-84).
@@ -298,20 +449,32 @@ class BidirectedGraph:
         ``ordering`` is a sequence of handles; orientation bits are
         ignored for the renumbering (the reference maps node ids only).
         Nodes absent from the ordering are dropped.
+
+        Vectorized (r5): LUT instead of a dict, injective remap skips
+        the edge dedup pass — the per-node Python path cost ~6 s at 1M
+        nodes / 4M edges and dominated the warm-server Y step.
         """
         if len(ordering) == 0:
             return
-        old_to_new = {H.node_id(int(h)): k + 1 for k, h in enumerate(ordering)}
-        max_new = max(old_to_new.values())
-        new_nodes: List[Optional[bytes]] = [None] * (max_new + 1)
+        ids = np.asarray(ordering, dtype=np.int64) >> 1
+        n = len(ids)
+        lut = np.full(int(ids.max()) + 1, -1, dtype=np.int64)
+        lut[ids] = np.arange(1, n + 1, dtype=np.int64)  # duplicate: last wins
+        nodes = self.nodes
+        n_nodes = len(nodes)
+        new_nodes: List[Optional[bytes]] = [None] * (n + 1)
         new_ranks: Dict[int, int] = {}
-        for old_id, new_id in old_to_new.items():
-            if old_id < len(self.nodes) and self.nodes[old_id] is not None:
-                new_nodes[new_id] = self.nodes[old_id]
-                new_ranks[new_id] = new_id - 1  # 0-based rank (rs:1976)
+        lutl = lut.tolist()
+        for k, old in enumerate(ids.tolist()):
+            if lutl[old] != k + 1:
+                continue  # a later duplicate of this handle won
+            if old < n_nodes and nodes[old] is not None:
+                new_nodes[k + 1] = nodes[old]
+                new_ranks[k + 1] = k  # 0-based rank (rs:1976)
         self.nodes = new_nodes
         self.ranks = new_ranks
-        self._remap_arrays(old_to_new, keep_unmapped=False)
+        # the mapping is injective on new ids -> no edge dedup needed
+        self._remap_arrays_lut(lut, keep_unmapped=False, dedup=False)
 
     # ------------------------------------------------------------------
     # Validation & hashing (src/graph_ops.rs:741-893)
@@ -404,7 +567,7 @@ class BidirectedGraph:
         g = BidirectedGraph()
         g.nodes = list(self.nodes)
         g.ranks = dict(self.ranks)
-        g.edges = set(self.edges)
+        g.edges = EdgeSet(self.edges)
         g.paths = [BiPath(p.name, p.steps.copy()) for p in self.paths]
         g.node_order = list(self.node_order)
         return g

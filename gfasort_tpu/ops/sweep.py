@@ -130,7 +130,24 @@ def build_sweep_runner(
     Knobs left as None default to the shape-aware policy
     (:func:`gfasort_tpu.ops.sweep_common.auto_sweep_config`): large
     workloads get the certified throughput settings, small many-path
-    loci keep conservative ones."""
+    loci keep conservative ones.
+
+    Under the warm-process server (GFASORT_RUNNER_CACHE=1), the whole
+    built runner is memoized by workload/params fingerprint — see
+    ops/runner_cache.py."""
+    from . import runner_cache
+
+    if runner_cache.enabled():
+        ck = ("sweep1d", runner_cache.fingerprint_pidx(pidx),
+              runner_cache.params_key(params), runner_cache.env_key(),
+              per_octave, consensus_every, active_frac, str(rotate),
+              dense_upto, proposals)
+        hit = runner_cache.get(ck)
+        if hit is not None:
+            return hit
+    else:
+        ck = None
+
     import jax
     import jax.numpy as jnp
 
@@ -495,6 +512,8 @@ def build_sweep_runner(
                 [len(po_) - b for po_, b in zip(phase_offsets, _kb)])),
             "consensus": type(gc).__name__.replace("Consensus", "").lower(),
             "consensus_coverage": getattr(gc, "coverage", None)}
+    if ck is not None:
+        runner_cache.put(ck, (run, arrays, make_state, info))
     return run, arrays, make_state, info
 
 
@@ -700,11 +719,11 @@ def path_linear_sgd_sweep(
 
 
 def path_sgd_sort_sweep(graph: BidirectedGraph, params: PathSGDParams, **kw):
-    from .. import handle as H
-
     pidx = PathIndex.from_graph(graph)
     x = path_linear_sgd_sweep(graph, params, pidx, **kw)
     if x is None or len(x) == 0:
         return []
     order = np.argsort(x, kind="stable")
-    return [H.forward(int(pidx.node_ids[idx])) for idx in order]
+    # vectorized H.forward(node_ids[order]): a Python per-node loop
+    # cost ~2 s at 1M nodes (warm-server hot path)
+    return (np.asarray(pidx.node_ids)[order] << 1).tolist()

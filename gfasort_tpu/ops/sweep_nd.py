@@ -195,7 +195,21 @@ def build_sweep_nd_runner(
 ):
     """Knobs left as None default to the shape-aware policy
     (:func:`gfasort_tpu.ops.sweep_common.auto_sweep_config` with
-    ``layout=True``)."""
+    ``layout=True``).  Under the warm-process server the built runner
+    is memoized (ops/runner_cache.py)."""
+    from . import runner_cache
+
+    if runner_cache.enabled():
+        ck = ("sweepnd", runner_cache.fingerprint_pidx(pidx),
+              runner_cache.params_key(params), runner_cache.env_key(),
+              int(params.dimensions), per_octave, consensus_every,
+              active_frac, str(rotate), dense_upto, proposals)
+        hit = runner_cache.get(ck)
+        if hit is not None:
+            return hit
+    else:
+        ck = None
+
     import jax
     import jax.numpy as jnp
 
@@ -428,6 +442,8 @@ def build_sweep_nd_runner(
         "rotate": rotate,
         "consensus_every": consensus_every,
     }
+    if ck is not None:
+        runner_cache.put(ck, (run, arrays, make_state, info))
     return run, arrays, make_state, info
 
 

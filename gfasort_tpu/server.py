@@ -129,6 +129,10 @@ def serve(path: str | None = None) -> None:
             pass
         os.unlink(path)
     os.environ["GFASORT_IN_SERVER"] = "1"  # jobs must not re-route
+    # memoize built engine runners across jobs (the whole point of the
+    # warm process): same-workload jobs skip re-trace + executable
+    # reload entirely (ops/runner_cache.py)
+    os.environ.setdefault("GFASORT_RUNNER_CACHE", "1")
     srv = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
     srv.bind(path)
     srv.listen(8)

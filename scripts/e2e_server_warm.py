@@ -69,7 +69,12 @@ def main() -> int:
 
     env = dict(os.environ)
     env["GFASORT_SERVER_SOCKET"] = sock
-    env["PYTHONPATH"] = str(REPO)
+    # PREPEND the repo: clobbering PYTHONPATH would drop site dirs the
+    # backend plugin registers through (e.g. the axon tunnel's
+    # sitecustomize)
+    env["PYTHONPATH"] = str(REPO) + (
+        os.pathsep + env["PYTHONPATH"] if env.get("PYTHONPATH") else ""
+    )
 
     runs = []
     try:
