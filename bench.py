@@ -25,6 +25,9 @@ most complete parsable artifact:
      plus the exact applied-updates fraction (VERDICT r3 task 2)
  10. poor-locality bracket: forced gather consensus at the bench
      shape + shuffled-id workload through the auto policy (task 4)
+ 11. full-schedule (reference iter_max=100) certification of the
+     CLI-default config — in the DEFAULT protocol since r5 (reduced
+     50k shape; still >= LARGE_S so the policy resolves identically)
 
 Each timed section reports `warmup_s` (trace + compile + first run)
 separately from the steady-state rate, so the artifact distinguishes
@@ -134,7 +137,8 @@ def main() -> int:
         "nd_layout_3d": None,  # 3D (incl. stress cert)
         "roofline": None,
         "fallback": None,
-        "quality_full_schedule": None,  # set under BENCH_FULL=1
+        "quality_full_schedule": None,  # default protocol (r5): 50k
+                                        # shape; BENCH_FULL: 100k
         "oracle_1t": None,
         "oracle_mt": None,
         "elapsed_s": None,

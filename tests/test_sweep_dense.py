@@ -246,7 +246,8 @@ def test_bucket_apply_mid_offsets():
     jax.default_backend() != "tpu",
     reason="real (non-interpret) Mosaic kernel needs TPU hardware",
 )
-@pytest.mark.parametrize("case", ["dense", "mid", "nd2"])
+@pytest.mark.parametrize("case", ["dense", "mid", "nd2", "mid_p4",
+                                  "nd2_p4"])
 def test_real_kernel_matches_interpret_on_tpu(case):
     """ADVICE r2: the Mosaic kernel body (DMA windows, transpose,
     lane rolls, sublane concat views) is otherwise never exercised by
@@ -270,22 +271,35 @@ def test_real_kernel_matches_interpret_on_tpu(case):
         buckets = [(k, i) for i, k in
                    enumerate([1, 2, 3, 4, 5, 6, 7, 8, 16, 181, 1024])]
     kis = [ki for _, ki in buckets]
-    raw = rng.choice(kis + [~ki for ki in kis] + [int(INACTIVE)], S)
-    sidx = raw.astype(np.int32)
-    for k, ki in buckets:
-        sidx = np.where((sidx == ki) & (iota + k >= S), INACTIVE, sidx)
-        sidx = np.where((sidx == ~ki) & (iota - k < 0), INACTIVE, sidx)
+
+    def draw_sidx():
+        raw = rng.choice(kis + [~ki for ki in kis] + [int(INACTIVE)], S)
+        s = raw.astype(np.int32)
+        for k, ki in buckets:
+            s = np.where((s == ki) & (iota + k >= S), INACTIVE, s)
+            s = np.where((s == ~ki) & (iota - k < 0), INACTIVE, s)
+        return s
+
+    P = 4 if case.endswith("_p4") else 1
+    if P == 1:
+        sidx = draw_sidx()
+    else:
+        from gfasort_tpu.ops.sweep_common import pack_choices
+
+        sidx = np.asarray(pack_choices(
+            [jnp.asarray(draw_sidx()) for _ in range(P)]
+        ))
     eta = np.float32(1.3)
 
-    if case == "nd2":
+    if case.startswith("nd2"):
         D = 2
         my_pos = pos
         my_c = [jnp.asarray(rng.standard_normal(S).astype(np.float32) * 50)
                 for _ in range(D)]
         real = build_dense_apply_nd(8, S, D, jnp.float32, interpret=False,
-                                    buckets=buckets)
+                                    buckets=buckets, proposals=P)
         ref = build_dense_apply_nd(8, S, D, jnp.float32, interpret=True,
-                                   buckets=buckets)
+                                   buckets=buckets, proposals=P)
         acc_r, w_r = real(jnp.asarray(my_pos), jnp.asarray(sidx), my_c, eta)
         acc_i, w_i = ref(jnp.asarray(my_pos), jnp.asarray(sidx), my_c, eta)
         np.testing.assert_allclose(np.asarray(w_r), np.asarray(w_i), atol=0)
@@ -296,8 +310,10 @@ def test_real_kernel_matches_interpret_on_tpu(case):
         return
 
     xs = rng.standard_normal(S).astype(np.float32) * 100
-    real = build_bucket_apply(buckets, S, jnp.float32, interpret=False)
-    ref = build_bucket_apply(buckets, S, jnp.float32, interpret=True)
+    real = build_bucket_apply(buckets, S, jnp.float32, interpret=False,
+                              proposals=P)
+    ref = build_bucket_apply(buckets, S, jnp.float32, interpret=True,
+                             proposals=P)
     d_r, c_r = real(jnp.asarray(xs), jnp.asarray(pos), jnp.asarray(sidx), eta)
     d_i, c_i = ref(jnp.asarray(xs), jnp.asarray(pos), jnp.asarray(sidx), eta)
     np.testing.assert_allclose(np.asarray(c_r), np.asarray(c_i), atol=0)
