@@ -212,6 +212,8 @@ def apply_grooming_with_reorder(graph, groomed_handles: List[int], reorder: bool
     renumber nodes 1..N by the groomed handle order."""
     import numpy as np
 
+    from ..graph import EdgeSet
+
     handles_arr = np.asarray(groomed_handles, dtype=np.int64)
     flip_ids = handles_arr[(handles_arr & 1) == 1] >> 1
     flips = set(flip_ids.tolist())
@@ -231,13 +233,14 @@ def apply_grooming_with_reorder(graph, groomed_handles: List[int], reorder: bool
                 ),
                 len(flip_ids),
             )
-            mask = np.zeros(len(graph.nodes) + 1, dtype=np.uint8)
+            # vectorized handle-flip through the EdgeSet array mode
+            # (r5; the C set-to-set pass still churned ~50M PyObjects
+            # at genome scale)
+            mask = np.zeros(len(graph.nodes) + 1, dtype=np.int64)
             mask[flip_ids[flip_ids < len(mask)]] = 1
-            graph.edges = pylib.flip_edge_set(
-                graph.edges,
-                mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-                len(mask),
-            )
+            es = (graph.edges if isinstance(graph.edges, EdgeSet)
+                  else EdgeSet(graph.edges))
+            graph.edges = es.flipped(mask)
             native_done = True
     if not native_done:
         for nid in flips:
@@ -259,10 +262,12 @@ def apply_grooming_with_reorder(graph, groomed_handles: List[int], reorder: bool
                 path.steps = path.steps ^ flip_arr[path.steps >> 1]
 
     if reorder:
-        mapping = {
-            H.node_id(h): i + 1 for i, h in enumerate(groomed_handles)
-        }
-        graph.apply_node_id_mapping(mapping)
+        # arrays straight through — the 4M-entry dict comp cost
+        # seconds at genome scale (r5)
+        graph._apply_node_id_mapping_arrays(
+            handles_arr >> 1,
+            np.arange(1, len(handles_arr) + 1, dtype=np.int64),
+        )
 
 
 # ---------------------------------------------------------------------

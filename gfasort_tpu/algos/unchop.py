@@ -366,14 +366,24 @@ def merge_components(graph, comps: List[List[int]]) -> int:
     new_id = np.full(C, -1, dtype=np.int64)
     new_id[valid] = base + np.arange(n_merged, dtype=np.int64)
 
-    # ---- create merged nodes (concat oriented sequences, :302-311) ----
-    for c in np.flatnonzero(valid).tolist():
+    # ---- create merged nodes (concat oriented sequences, :302-311).
+    # Lean loop (r5): direct node-list access + a local RC instead of
+    # get_sequence's per-call dispatch; bulk-extend the node list and
+    # node_order once instead of per-add_node bookkeeping (this loop
+    # visits every merged-away node and dominated genome-scale unchop
+    # wall time).  Equivalent to add_node on fresh ids past the end.
+    nodes_l = graph.nodes
+    rc = H.reverse_complement
+    valid_cs = np.flatnonzero(valid).tolist()
+    nodes_l.extend([None] * (base + n_merged - len(nodes_l)))
+    for c in valid_cs:
         parts = []
         for h in comps[c]:
-            seq = graph.get_sequence(int(h))
-            if seq is not None:
-                parts.append(seq)
-        graph.add_node(int(new_id[c]), b"".join(parts))
+            s = nodes_l[h >> 1]
+            if s is not None:
+                parts.append(rc(s) if (h & 1) else s)
+        nodes_l[int(new_id[c])] = b"".join(parts)
+    graph.node_order.extend(int(new_id[c]) for c in valid_cs)
 
     # ---- rewrite paths: replace each complete run by one handle ----
     for path, a in zip(graph.paths, analyses):
@@ -427,17 +437,19 @@ def merge_components(graph, comps: List[List[int]]) -> int:
                     outs_t.append(t_opt[m])
         nef = np.concatenate(outs_f) if outs_f else np.zeros(0, np.int64)
         net = np.concatenate(outs_t) if outs_t else np.zeros(0, np.int64)
-        from ..native.build import load_py
+        from ..graph import EdgeSet
 
-        pylib = load_py()
-        if pylib is not None and len(nef) >= 4096:
-            import ctypes
-
-            p = ctypes.POINTER(ctypes.c_int64)
-            nef = np.ascontiguousarray(nef)
-            net = np.ascontiguousarray(net)
-            graph.edges = pylib.gfa_build_edges(
-                len(nef), nef.ctypes.data_as(p), net.ctypes.data_as(p)
+        if (len(nef) >= 4096
+                and max(int(nef.max()), int(net.max())) < (1 << 32)):
+            # array-mode rebuild with packed-u64 dedup (r5): the C
+            # set build still churned ~3 PyObjects per edge
+            key = np.unique(
+                (nef.astype(np.uint64) << np.uint64(32))
+                | net.astype(np.uint64)
+            )
+            graph.edges = EdgeSet.from_arrays(
+                (key >> np.uint64(32)).astype(np.int64),
+                (key & np.uint64(0xFFFFFFFF)).astype(np.int64),
             )
         else:
             graph.edges = set(zip(nef.tolist(), net.tolist()))

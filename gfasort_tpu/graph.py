@@ -165,6 +165,23 @@ class EdgeSet:
         # huge handles (>= 2^32): fall back to set dedup
         return EdgeSet(set(zip(ef2.tolist(), et2.tolist())))
 
+    def flipped(self, flip_mask: np.ndarray) -> "EdgeSet":
+        """XOR the orientation bit of every handle whose node id has
+        ``flip_mask[id] != 0`` (grooming; ids >= len(mask) unflipped).
+        Injective per handle — no dedup needed."""
+        if self._arr is not None:
+            ef, et = self._arr
+        else:
+            ef, et = _edge_set_to_arrays(self._set)
+        m = np.asarray(flip_mask, dtype=np.int64)
+
+        def fl(h):
+            nid = h >> 1
+            bit = np.where(nid < len(m), m[np.minimum(nid, len(m) - 1)], 0)
+            return h ^ bit
+
+        return EdgeSet.from_arrays(fl(ef), fl(et))
+
     # ---- set-protocol surface the codebase uses ----
     def __len__(self) -> int:
         return (len(self._arr[0]) if self._set is None else len(self._set))
@@ -422,21 +439,44 @@ class BidirectedGraph:
     def apply_node_id_mapping(self, mapping: Dict[int, int]) -> None:
         """Renumber nodes through ``mapping`` (src/graph_ops.rs:36-84).
         Ids absent from the mapping keep their old id."""
-        max_new = max(mapping.values(), default=0)
+        if not mapping:
+            return
+        keys = np.fromiter(mapping.keys(), dtype=np.int64, count=len(mapping))
+        vals = np.fromiter(mapping.values(), dtype=np.int64, count=len(mapping))
+        self._apply_node_id_mapping_arrays(keys, vals)
+
+    def _apply_node_id_mapping_arrays(self, keys: np.ndarray,
+                                      vals: np.ndarray) -> None:
+        """Vectorized core of :meth:`apply_node_id_mapping` (r5: the
+        dict-based per-node loop cost seconds at genome scale).
+        Semantics preserved: unmapped ids keep their old id; when
+        several old ids map to one new id, the LARGEST old id wins the
+        node slot (the legacy loop iterated old ids ascending and
+        overwrote)."""
+        lut = np.full(
+            max(len(self.nodes), int(keys.max()) + 1 if len(keys) else 1),
+            -1, dtype=np.int64,
+        )
+        lut[keys] = vals
+        live = np.asarray(self.live_node_ids(), dtype=np.int64)
+        lv = lut[live]
+        new_of_live = np.where(lv >= 0, lv, live)
+        max_new = int(new_of_live.max()) if len(live) else 0
+        nodes = self.nodes
+        ranks = self.ranks
         new_nodes: List[Optional[bytes]] = [None] * (max_new + 1)
         new_ranks: Dict[int, int] = {}
-        for old_id, seq in enumerate(self.nodes):
-            if seq is None:
-                continue
-            new_id = mapping.get(old_id, old_id)
-            if new_id >= len(new_nodes):
-                new_nodes.extend([None] * (new_id + 1 - len(new_nodes)))
-            new_nodes[new_id] = seq
-            if old_id in self.ranks:
-                new_ranks[new_id] = self.ranks[old_id]
+        if ranks:
+            for old, new in zip(live.tolist(), new_of_live.tolist()):
+                new_nodes[new] = nodes[old]
+                if old in ranks:
+                    new_ranks[new] = ranks[old]
+        else:
+            for old, new in zip(live.tolist(), new_of_live.tolist()):
+                new_nodes[new] = nodes[old]
         self.nodes = new_nodes
         self.ranks = new_ranks
-        self._remap_arrays(mapping, keep_unmapped=True)
+        self._remap_arrays_lut(lut, keep_unmapped=True, dedup=True)
 
     def renumber_nodes_sequentially(self) -> None:
         """Compact live ids to 1..N in id order (src/graph_ops.rs:88-102)."""
