@@ -65,26 +65,26 @@ FULL = os.environ.get("BENCH_FULL", "0") == "1"
 # Spearman 0.9999989 vs 0.9999985) — r3 measurement; section 3
 # certifies the exact timed config in-run.
 QUALITY_CFG = dict(consensus_every=8, per_octave=2, active_frac=1.0,
-                   rotate=8, dense_upto=4, proposals=4)
+                   rotate=8, dense_upto=4, proposals=12)
 # Round-5 additions to the r4 config (ce=96/po=2/rotate=12, see the
 # r2-r4 probe history in git):
 #   * dense_upto=4 — the dense jump grid coarsens to {1,2,3,4,6,8}
 #     (same <=8 every-phase treatment): 2 fewer buckets/phase,
 #     1,740 -> 1,881 M/s, 100k cert unchanged (scratch/r5_bucket_probe)
-#   * proposals=4 — each step draws 4 independent partners per sweep
-#     (packed into ONE i32, 8-bit fields) and the bucket passes share
-#     ONE update-math evaluation (only the mask extracts/compares
-#     scale with P): 1,950 -> 2,974 -> 3,992 -> 4,770 M/s measured at
-#     P=1..4; certs flat-to-BETTER at every P (P=4: 2.96e-4/2.00e-4
-#     at iter30/100 vs 2.99e-4/2.06e-4 for P=1; quality mode
-#     1.88e-4).  P<=4 is the packing limit; the unpacked variant blew
-#     Mosaic's scoped-VMEM stack.
+#   * proposals=12 — each step draws 12 independent partners per
+#     sweep (packed into ceil(P/4) i32 words, 8-bit fields) and the
+#     bucket passes share ONE update-math evaluation (only the mask
+#     extracts/compares scale with P): 1,950 -> 2,974 -> 3,992 ->
+#     4,770 -> 5,366 -> 6,210 M/s measured at P=1/2/3/4/8/12; certs
+#     FLAT at every P (iter30 3.57e-4, iter100 2.21e-4, quality mode
+#     2.09e-4 at P=12 — P-invariant).  P=16 (6 input windows) blows
+#     Mosaic's scoped-VMEM stack; 12 is the shipping ceiling.
 #   * the r4 iota end guards in the fused kernel are gone (sampler
 #     guarantee + INACT halo padding): part of the P=1 1,881->1,950.
 # rotate=16 still hits the Mosaic compile bug (scratch/r5_bucket_probe
 # retests it every run).
 THROUGHPUT_CFG = dict(consensus_every=96, per_octave=2, active_frac=1.0,
-                      rotate=12, dense_upto=4, proposals=4)
+                      rotate=12, dense_upto=4, proposals=12)
 
 
 def _fit_ce(rounds: int, ce: int) -> int:
@@ -300,10 +300,12 @@ def main() -> int:
     ND_ROT = 12
     ND_FRAC = 1.0
     # r5: same dense-grid + packed multi-proposal wins as 1D (2D
-    # 672 -> 2,001 M/s, 3D 526 -> 1,669 at P=4; stress ratios 0.909 /
-    # 0.910 — still beat the oracle; scratch/r5_packed_probe.py)
+    # 672 -> 2,690 M/s at P=8, 3D 526 -> 1,669 at P=4 — the nD runner
+    # clamps the word count by D so the kernel stays <= 5 input
+    # windows; stress ratios 0.98 / 0.91, both beat the oracle;
+    # scratch/r5_packed_probe.py + /tmp probe series)
     ND_DU = 4
-    ND_P = 4
+    ND_P = 8
     if ND_CE != 48:
         err(f"[bench] WARNING: nd consensus_every 48 does not divide "
             f"rounds//2={ROUNDS // 2}; using {ND_CE}")

@@ -46,7 +46,7 @@ from ..params import PathSGDParams
 from .fastpow import zeta_table
 from .schedule import eta_schedule
 from .sweep_common import (auto_sweep_config, fit_consensus_period,
-                           pack_choices, phase_structure, sweep_rng)
+                           pack_choices_words, phase_structure, sweep_rng)
 
 __all__ = ["offset_set", "build_sweep_runner", "path_linear_sgd_sweep", "path_sgd_sort_sweep"]
 
@@ -313,8 +313,9 @@ def build_sweep_runner(
             iota = jax.lax.iota(jnp.int32, S)
             if bucket_apply is not None:
                 # all buckets with offset <= KMAX in one fused pass;
-                # P > 1 proposals ride ONE packed i32 operand
-                sidx_k = sidxs[0] if P == 1 else pack_choices(sidxs)
+                # P > 1 proposals ride ceil(P/4) packed i32 operands
+                sidx_k = (sidxs[0] if P == 1
+                          else pack_choices_words(sidxs))
                 dsum, csum = bucket_apply(xs, pos, sidx_k, eta)
             else:
                 dsum = jnp.zeros_like(xs)

@@ -189,15 +189,18 @@ def auto_sweep_config(S: int, N: int, *, layout: bool = False) -> dict:
       coarsens to {1,2,3,4,6,8} (2 fewer VPU-bound buckets/phase, +8%
       rate, 100k cert unchanged to 3 digits; scratch/r5_bucket_probe).
       Small regime keeps the exact 1..8 grid.
-    * ``proposals`` (r5) — 4 in the large regime: P independent
-      partner draws per step per sweep (packed into one i32) share ONE
-      bucket-pass update evaluation (1,950 -> 4,770 M upd/s at the
-      bench shape); certs flat-to-BETTER at every P (P=4 1D
-      2.96e-4/2.00e-4 at iter30/100 vs 2.99e-4/2.06e-4 for P=1;
-      layout stress ratios 0.909/0.910) and validated at the genome
-      calibration shape (ROUND5_NOTES matrix).  Small regime keeps
-      P=1 (DRB1-scale fixtures were certified there, and sweep cost
-      is negligible anyway).
+    * ``proposals`` (r5) — 12 (1D) / 8 (layout; the nD runner clamps
+      by dimensionality) in the large regime: P independent partner
+      draws per step per sweep (packed into ceil(P/4) i32 words)
+      share ONE bucket-pass update evaluation (1,950 -> 6,210 M
+      upd/s at the bench shape across P=1..12); certs are
+      P-INVARIANT (1D iter30 3.57e-4, iter100 2.21e-4 at P=4/8/12
+      alike; 2D stress ratio 0.98 at P=8, beats the oracle) and
+      validated at the genome calibration shape (ROUND5_NOTES
+      matrix).  P=16 (6 kernel input windows) blows Mosaic's
+      scoped-VMEM stack.  Small regime keeps P=1 (DRB1-scale
+      fixtures were certified there, and sweep cost is negligible
+      anyway).
     """
     floor = 0.25 if layout else 1.0 / 16.0
     spn = S / max(N, 1)  # path redundancy: steps per node
@@ -215,7 +218,8 @@ def auto_sweep_config(S: int, N: int, *, layout: bool = False) -> dict:
             per_octave=3,
             rotate=12 if large else 8,
             dense_upto=4 if large else 8,
-            proposals=4 if large else 1,
+            # the nD runner clamps by dimensionality (D=3 -> 4)
+            proposals=8 if large else 1,
         )
     return dict(
         active_frac=frac,
@@ -223,7 +227,7 @@ def auto_sweep_config(S: int, N: int, *, layout: bool = False) -> dict:
         per_octave=2 if large else 4,
         rotate=12 if large else "auto",
         dense_upto=4 if large else 8,
-        proposals=4 if large else 1,
+        proposals=12 if large else 1,
     )
 
 # Sentinel "no partner chosen" value emitted by sample_block and matched
@@ -255,6 +259,12 @@ def pack_choices(sidxs):
         word = s8 << (8 * p) if p else s8
         packed = word if packed is None else packed | word
     return packed
+
+
+def pack_choices_words(sidxs):
+    """Pack any number of choice arrays into ceil(P/4) i32 words
+    (4 fields per word; see :func:`pack_choices`)."""
+    return [pack_choices(sidxs[w: w + 4]) for w in range(0, len(sidxs), 4)]
 
 
 def unpack_choice(packed, p: int):

@@ -179,18 +179,27 @@ def build_bucket_apply(buckets, S: int, fdt, br: int = 256,
     assert all(1 <= k <= _KMAX_HW for k, _ in buckets)
     P = int(proposals)
     if P > 1:
-        # packed 8-bit fields: bucket indices must fit signed 8 bits
-        assert P <= 4 and all(ki < 64 for _, ki in buckets)
+        # packed 8-bit fields: bucket indices must fit signed 8 bits;
+        # P > 4 rides ceil(P/4) packed words
+        assert all(ki < 64 for _, ki in buckets)
+    n_words = 1 if P == 1 else -(-P // 4)
     SIDX_FILL = INACT if P == 1 else PACKED_INACTIVE
 
-    def _fields(s):
-        """Per-proposal signed choice views of the sidx operand."""
-        return [s] if P == 1 else [unpack_choice(s, p) for p in range(P)]
+    def _as_words(sidx):
+        return list(sidx) if isinstance(sidx, (list, tuple)) else [sidx]
+
+    def _fields(words):
+        """Per-proposal signed choice views of the sidx word list."""
+        if P == 1:
+            return [words[0]]
+        return [unpack_choice(words[p // 4], p % 4) for p in range(P)]
 
     if interpret:
         # Non-TPU (test) path: same math in plain jnp ops.
         def apply_ref(xs, pos, sidx, eta):
-            sidxs = _fields(sidx)
+            words = _as_words(sidx)
+            assert len(words) == n_words
+            sidxs = _fields(words)
             one = jnp.asarray(1.0, xs.dtype)
             dsum = jnp.zeros_like(xs)
             csum = jnp.zeros_like(xs)
@@ -200,7 +209,9 @@ def build_bucket_apply(buckets, S: int, fdt, br: int = 256,
                     kk = sgn * k
                     xs_o = _shift_ref(jnp, xs, kk, 0)
                     pos_o = _shift_ref(jnp, pos, kk, 0)
-                    sidxs_o = _fields(_shift_ref(jnp, sidx, kk, SIDX_FILL))
+                    sidxs_o = _fields([
+                        _shift_ref(jnp, w, kk, SIDX_FILL) for w in words
+                    ])
                     w = jnp.zeros_like(xs)
                     for s, s_o in zip(sidxs, sidxs_o):
                         if sgn > 0:
@@ -229,7 +240,7 @@ def build_bucket_apply(buckets, S: int, fdt, br: int = 256,
         return apply_ref
 
     qs_all = _qs_for(buckets)
-    n_arr = 3  # xs, pos, sidx (packed when P > 1)
+    n_arr = 2 + n_words  # xs, pos, sidx word(s) (packed when P > 1)
     BR = _fit_br(int(br), n_arr, len(qs_all))
     BLK = BR * _LANE
     nb = -(-S // BLK)
@@ -274,7 +285,7 @@ def build_bucket_apply(buckets, S: int, fdt, br: int = 256,
 
         xs_h = vert(scratch[0])
         pos_h = vert(scratch[1])
-        sidx_h = vert(scratch[2])
+        sidx_hs = [vert(scratch[2 + w]) for w in range(n_words)]
 
         def view(hq, k):
             q, rr = divmod(k, _LANE)
@@ -286,7 +297,7 @@ def build_bucket_apply(buckets, S: int, fdt, br: int = 256,
 
         xs = view(xs_h, 0)
         pos = view(pos_h, 0)
-        sidxs = _fields(view(sidx_h, 0))  # per-proposal choice fields
+        sidxs = _fields([view(h, 0) for h in sidx_hs])
         eta = eta_ref[0, 0]
 
         one = jnp.float32(1.0)
@@ -304,7 +315,7 @@ def build_bucket_apply(buckets, S: int, fdt, br: int = 256,
                 kk = sgn * k
                 xs_o = view(xs_h, kk)
                 pos_o = view(pos_h, kk)
-                sidxs_o = _fields(view(sidx_h, kk))
+                sidxs_o = _fields([view(h, kk) for h in sidx_hs])
                 w = jnp.zeros((_LANE, BR), jnp.float32)
                 for sidx, sidx_o in zip(sidxs, sidxs_o):
                     if sgn > 0:
@@ -346,18 +357,20 @@ def build_bucket_apply(buckets, S: int, fdt, br: int = 256,
             jax.ShapeDtypeStruct((rows, _LANE), jnp.float32, vma=vma),
             jax.ShapeDtypeStruct((rows, _LANE), jnp.float32, vma=vma),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((W, _LANE), jnp.float32),
-            pltpu.VMEM((W, _LANE), jnp.float32),
-            pltpu.VMEM((W, _LANE), jnp.int32),
-            pltpu.SemaphoreType.DMA((n_arr,)),
-        ],
+        scratch_shapes=(
+            [pltpu.VMEM((W, _LANE), jnp.float32),
+             pltpu.VMEM((W, _LANE), jnp.float32)]
+            + [pltpu.VMEM((W, _LANE), jnp.int32) for _ in range(n_words)]
+            + [pltpu.SemaphoreType.DMA((n_arr,))]
+        ),
         interpret=interpret,
     )
 
     def apply(xs, pos, sidx, eta):
-        """xs/pos [S] fdt, sidx [S] i32 (packed for P > 1) ->
+        """xs/pos [S] fdt, sidx [S] i32 (packed word(s) for P > 1) ->
         (dsum, csum) [S] fdt."""
+        words = _as_words(sidx)
+        assert len(words) == n_words
         pad = S_pad - S
 
         def pad2(a, fill):
@@ -366,10 +379,10 @@ def build_bucket_apply(buckets, S: int, fdt, br: int = 256,
             a = a.reshape(rows, _LANE)
             return jnp.pad(a, ((_HR, _HR), (0, 0)), constant_values=fill)
 
-        args = [pad2(xs.astype(jnp.float32), 0),
-                pad2(pos.astype(jnp.float32), 0),
-                pad2(sidx, SIDX_FILL),
-                jnp.full((1, 1), eta, jnp.float32)]
+        args = ([pad2(xs.astype(jnp.float32), 0),
+                 pad2(pos.astype(jnp.float32), 0)]
+                + [pad2(wd, SIDX_FILL) for wd in words]
+                + [jnp.full((1, 1), eta, jnp.float32)])
         dsum, csum = call(*args)
         return (
             dsum.reshape(-1)[:S].astype(xs.dtype),
@@ -429,15 +442,23 @@ def build_dense_apply_nd(n_dense: int, S: int, D: int, fdt, br: int = 256,
     assert all(1 <= k <= _KMAX_HW for k, _ in buckets)
     P = int(proposals)
     if P > 1:
-        assert P <= 4 and all(ki < 64 for _, ki in buckets)
+        assert all(ki < 64 for _, ki in buckets)
+    n_words = 1 if P == 1 else -(-P // 4)
     SIDX_FILL = INACT if P == 1 else PACKED_INACTIVE
 
-    def _fields(s):
-        return [s] if P == 1 else [unpack_choice(s, p) for p in range(P)]
+    def _as_words(sidx):
+        return list(sidx) if isinstance(sidx, (list, tuple)) else [sidx]
+
+    def _fields(words):
+        if P == 1:
+            return [words[0]]
+        return [unpack_choice(words[p // 4], p % 4) for p in range(P)]
 
     if interpret:
         def apply_ref(my_pos, sidx, my_c, eta):
-            sidxs = _fields(sidx)
+            words = _as_words(sidx)
+            assert len(words) == n_words
+            sidxs = _fields(words)
             one = jnp.asarray(1.0, my_pos.dtype)
             acc = [jnp.zeros_like(my_pos) for _ in range(D)]
             wacc = jnp.zeros_like(my_pos)
@@ -447,7 +468,9 @@ def build_dense_apply_nd(n_dense: int, S: int, D: int, fdt, br: int = 256,
                     kk = sgn * k
                     pos_o = _shift_ref(jnp, my_pos, kk, 0)
                     c_o = [_shift_ref(jnp, c, kk, 0) for c in my_c]
-                    sidxs_o = _fields(_shift_ref(jnp, sidx, kk, SIDX_FILL))
+                    sidxs_o = _fields([
+                        _shift_ref(jnp, wd, kk, SIDX_FILL) for wd in words
+                    ])
                     w = jnp.zeros_like(my_pos)
                     for s, s_o in zip(sidxs, sidxs_o):
                         if sgn > 0:
@@ -480,7 +503,7 @@ def build_dense_apply_nd(n_dense: int, S: int, D: int, fdt, br: int = 256,
         return apply_ref
 
     qs_all = _qs_for(buckets)
-    n_in = 2 + D  # pos, sidx (packed when P > 1), c_0..c_{D-1}
+    n_in = 1 + n_words + D  # pos, sidx word(s), c_0..c_{D-1}
     # mid buckets (k > 8) in the nD kernel: force BR=128 — measured
     # OOMs at BR=256 do not track the n_q model reliably here (one
     # n_q=7 phase compiled, another blew the 16MB stack by 720KB),
@@ -525,8 +548,8 @@ def build_dense_apply_nd(n_dense: int, S: int, D: int, fdt, br: int = 256,
             }
 
         pos_h = vert(scratch[0])
-        sidx_h = vert(scratch[1])
-        c_h = [vert(scratch[2 + d]) for d in range(D)]
+        sidx_hs = [vert(scratch[1 + w]) for w in range(n_words)]
+        c_h = [vert(scratch[1 + n_words + d]) for d in range(D)]
 
         def view(hq, k):
             q, rr = divmod(k, _LANE)
@@ -537,7 +560,7 @@ def build_dense_apply_nd(n_dense: int, S: int, D: int, fdt, br: int = 256,
             return jnp.concatenate([a, b], axis=0)
 
         pos = view(pos_h, 0)
-        sidxs = _fields(view(sidx_h, 0))
+        sidxs = _fields([view(h, 0) for h in sidx_hs])
         cvs = [view(h, 0) for h in c_h]
         eta = eta_ref[0, 0]
 
@@ -551,7 +574,7 @@ def build_dense_apply_nd(n_dense: int, S: int, D: int, fdt, br: int = 256,
                 c_o = [view(h, kk) for h in c_h]
                 # no end guards: sampler guarantee + INACT halo (see
                 # build_bucket_apply docstring)
-                sidxs_o = _fields(view(sidx_h, kk))
+                sidxs_o = _fields([view(h, kk) for h in sidx_hs])
                 w = jnp.zeros((_LANE, BR), jnp.float32)
                 for sidx, sidx_o in zip(sidxs, sidxs_o):
                     if sgn > 0:
@@ -594,8 +617,8 @@ def build_dense_apply_nd(n_dense: int, S: int, D: int, fdt, br: int = 256,
         out_shape=[jax.ShapeDtypeStruct((rows, _LANE), jnp.float32, vma=vma)
                    for _ in range(D + 1)],
         scratch_shapes=(
-            [pltpu.VMEM((W, _LANE), jnp.float32),
-             pltpu.VMEM((W, _LANE), jnp.int32)]
+            [pltpu.VMEM((W, _LANE), jnp.float32)]
+            + [pltpu.VMEM((W, _LANE), jnp.int32) for _ in range(n_words)]
             + [pltpu.VMEM((W, _LANE), jnp.float32) for _ in range(D)]
             + [pltpu.SemaphoreType.DMA((n_in,))]
         ),
@@ -603,6 +626,8 @@ def build_dense_apply_nd(n_dense: int, S: int, D: int, fdt, br: int = 256,
     )
 
     def apply(my_pos, sidx, my_c, eta):
+        words = _as_words(sidx)
+        assert len(words) == n_words
         pad = S_pad - S
 
         def pad2(a, fill):
@@ -611,8 +636,8 @@ def build_dense_apply_nd(n_dense: int, S: int, D: int, fdt, br: int = 256,
             a = a.reshape(rows, _LANE)
             return jnp.pad(a, ((_HR, _HR), (0, 0)), constant_values=fill)
 
-        args = [pad2(my_pos.astype(jnp.float32), 0),
-                pad2(sidx, SIDX_FILL)]
+        args = [pad2(my_pos.astype(jnp.float32), 0)]
+        args += [pad2(wd, SIDX_FILL) for wd in words]
         args += [pad2(c.astype(jnp.float32), 0) for c in my_c]
         args.append(jnp.full((1, 1), eta, jnp.float32))
         outs = call(*args)

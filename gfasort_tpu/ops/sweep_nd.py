@@ -122,9 +122,10 @@ def make_nd_sweep_fn(offs_p, S, D, params, zetas, fdt, active_frac,
 
         iota = jax.lax.iota(jnp.int32, S)
         if dense_apply is not None:
-            from .sweep_common import pack_choices
+            from .sweep_common import pack_choices_words
 
-            sidx_k = sidxs[0] if P == 1 else pack_choices(sidxs)
+            sidx_k = (sidxs[0] if P == 1
+                      else pack_choices_words(sidxs))
             acc, wacc = dense_apply(my_pos, sidx_k, my_c, eta)
         else:
             acc = [jnp.zeros((S,), cs.dtype) for _ in range(D)]
@@ -233,6 +234,12 @@ def build_sweep_nd_runner(
     if proposals is None:
         proposals = _auto.get("proposals", 1)
     P = max(1, int(proposals))
+    # scoped-VMEM clamp: the fused kernel fits 1 + ceil(P/4) + D input
+    # windows; 6 windows blow the Mosaic stack (measured: 1D P=16,
+    # nD D=3 P=8 class).  Cap the word count so windows <= 5.
+    max_words = max(1, 4 - D)
+    if P > 4 * max_words:
+        P = 4 * max_words
 
     # layout jumps are rank-limited like 1D (space is already in steps
     # for the layout params, src/sgd.rs:754)

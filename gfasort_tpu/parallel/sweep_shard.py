@@ -278,7 +278,7 @@ def build_sharded_sweep(
             served = set()
 
         def local_sweep(xs, key, eta, cooling, pos, rank_a, cnt_a):
-            from ..ops.sweep_common import pack_choices, sweep_rng
+            from ..ops.sweep_common import pack_choices_words, sweep_rng
 
             sidxs = []
             for pi in range(PP):
@@ -289,7 +289,8 @@ def build_sharded_sweep(
 
             iota = jax.lax.iota(jnp.int32, L)
             if bucket_apply is not None:
-                sidx_k = sidxs[0] if PP == 1 else pack_choices(sidxs)
+                sidx_k = (sidxs[0] if PP == 1
+                          else pack_choices_words(sidxs))
                 dsum, csum = bucket_apply(xs, pos, sidx_k, eta)
             else:
                 dsum = jnp.zeros_like(xs)

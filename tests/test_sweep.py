@@ -141,7 +141,7 @@ def test_auto_sweep_config_policy():
 
     big = auto_sweep_config(4_000_000, 1_000_000)  # bench shape, S/N=4
     assert big == dict(active_frac=1.0, consensus_every=96,
-                       per_octave=2, rotate=12, dense_upto=4, proposals=4)
+                       per_octave=2, rotate=12, dense_upto=4, proposals=12)
     small = auto_sweep_config(60_000, 5_000)  # DRB1-like, S/N=12
     assert small["consensus_every"] == 8 and small["per_octave"] == 4
     assert small["dense_upto"] == 8 and small["proposals"] == 1
