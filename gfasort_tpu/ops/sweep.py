@@ -297,12 +297,17 @@ def build_sweep_runner(
             for every bucket, apply the masked pair update via rolls."""
             # P independent proposal streams.  P=1 keeps the r4 key
             # schedule exactly (no extra fold).
-            sidxs = []
-            for pi in range(P):
-                kp = key if P == 1 else jax.random.fold_in(key, pi)
-                bits, u = sweep_rng(kp, S, fdt)
-                sidxs.append(sample_block(
-                    bits, u, cooling, rank_arr, cnt_arr, active_frac))
+            if P == 1:
+                bits, u = sweep_rng(key, S, fdt)
+                sidxs = [sample_block(
+                    bits, u, cooling, rank_arr, cnt_arr, active_frac)]
+            else:
+                bu = [sweep_rng(jax.random.fold_in(key, pi), S, fdt)
+                      for pi in range(P)]
+                # bit-identical to P sample_block calls, shares the
+                # direction-constant chains (sweep_common.sample_blocks)
+                sidxs = sample_block.multi(
+                    bu, cooling, rank_arr, cnt_arr, active_frac)
 
             # IMPORTANT: every roll below applies to an INPUT array only.
             # Rolling a computed value (e.g. the update itself) breaks XLA
@@ -632,13 +637,19 @@ def build_applied_counter(
                 r = jnp.minimum(idx, n_sweeps - 1)
                 key = jax.random.fold_in(base_key, idx)
                 offs_p = phase_offsets[rr]
-                for pi in range(P):
-                    # mirrors the engine's per-proposal key schedule
-                    kp = key if P == 1 else jax.random.fold_in(key, pi)
-                    bits, u = sweep_rng(kp, S, fdt)
-                    sidx = samplers[rr](
-                        bits, u, cool_j[r], rank_a, cnt_a, active_frac
-                    )
+                # mirrors the engine's per-proposal key schedule (and
+                # its shared-chain multi sampler — bit-identical either
+                # way, tests/test_sweep.py::test_sample_blocks_bit_identical)
+                if P == 1:
+                    bits, u = sweep_rng(key, S, fdt)
+                    sidxs = [samplers[rr](
+                        bits, u, cool_j[r], rank_a, cnt_a, active_frac)]
+                else:
+                    bu = [sweep_rng(jax.random.fold_in(key, pi), S, fdt)
+                          for pi in range(P)]
+                    sidxs = samplers[rr].multi(
+                        bu, cool_j[r], rank_a, cnt_a, active_frac)
+                for sidx in sidxs:
                     pr = pr + jnp.sum(sidx != _INACT, dtype=jnp.int32)
                     for ki in range(len(offs_p)):
                         k = int(offs_p[ki])

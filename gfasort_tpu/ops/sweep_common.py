@@ -461,4 +461,111 @@ def make_offset_sampler(offs: np.ndarray, params, zetas: np.ndarray, fdt):
         ).astype(jnp.int32)
         return sidx
 
+    def snap_idx_track(z, want_hi):
+        """snap_idx_exact that also tracks offs[idx] (and, when
+        ``want_hi``, offs[min(idx+1, K-1)]) through the SAME binary
+        search: 2-3 selects per tree node instead of running 2-3
+        separate where-trees (the r5.2 multi-proposal sampler's
+        per-proposal hot path)."""
+        z = jnp.maximum(z, 1)
+
+        def build(lo, hi):
+            if hi - lo == 1:
+                hv = (jnp.int32(int(offs[min(lo + 1, K - 1)]))
+                      if want_hi else None)
+                return jnp.int32(lo), jnp.int32(int(offs[lo])), hv
+            mid = (lo + hi) // 2
+            li, llv, lhv = build(lo, mid)
+            ri, rlv, rhv = build(mid, hi)
+            c = z < jnp.int32(int(offs[mid]))
+            return (jnp.where(c, li, ri), jnp.where(c, llv, rlv),
+                    jnp.where(c, lhv, rhv) if want_hi else None)
+
+        return build(0, K)
+
+    def sample_blocks(bu_pairs, cooling, rank_a, cnt_a, active_frac):
+        """P-proposal variant of :func:`sample_block` — BIT-IDENTICAL
+        outputs (asserted by tests/test_sweep.py::test_sample_blocks
+        _bit_identical), fewer VPU ops.
+
+        Two exact restructurings:
+
+        1. The direction-dependent constant chain (avail ->
+           jump_space -> bucketed zeta/eta where-trees) takes only two
+           values per element (backward: rank, forward: cnt-1-rank).
+           Every op in the chain is elementwise, so
+           f(where(b, x, y)) == where(b, f(x), f(y)) exactly; the two
+           branch chains are computed ONCE and each proposal selects
+           by its direction coin — ~2 chains instead of P.
+        2. The per-proposal offset where-trees (snap + off_lo +
+           off_hi + the final in-range mask's off_of) fuse into ONE
+           value-tracked binary search (snap_idx_track); the
+           post-promotion offset needed by the mask is
+           where(promote, off_hi, off_lo) — exactly what off_of
+           returns at the promoted index, including the degenerate
+           oidx=K-1 promotion where off_of clamps to offs[K-1].
+        """
+        avail_b = rank_a
+        avail_f = cnt_a - 1 - rank_a
+        shared = []
+        for avail_d in (avail_b, avail_f):
+            js_d = jnp.minimum(space, avail_d)
+            js_idx = snap_idx_exact(jnp.maximum(js_d, 1))
+            shared.append((
+                js_d,
+                const_tree(js_idx, _zw, _zc, cooling),
+                const_tree(js_idx, _ew, _ec, cooling),
+            ))
+        zeta2theta = jnp.where(cooling, fdt(_z2tc), fdt(_z2tw))
+        theta = jnp.where(cooling, fdt(0.001), fdt(theta0))
+        alpha = 1.0 / (1.0 - theta)
+        out = []
+        for bits, u in bu_pairs:
+            coin1 = (bits >> 31) == 1
+            coin2 = ((bits >> 30) & 1) == 1
+            act = (
+                (bits & 0xFFFFF) < jnp.uint32(active_frac * (1 << 20))
+                if active_frac < 1.0
+                else (bits | 1) > 0
+            )
+            use_zipf = cooling | coin1
+            backward = (rank_a > 0) & (coin2 | (rank_a == cnt_a - 1))
+            forward = (~backward) & (rank_a < cnt_a - 1)
+            avail = jnp.where(backward, avail_b, avail_f)
+            jump_space = jnp.where(backward, shared[0][0], shared[1][0])
+            zeta = jnp.where(backward, shared[0][1], shared[1][1])
+            eta_z = jnp.where(backward, shared[0][2], shared[1][2])
+            # zipf_z body with the bucketed constants pre-selected
+            n = jnp.maximum(jump_space, 1).astype(fdt)
+            uz = u * zeta
+            arg = jnp.maximum(eta_z * u - eta_z + 1.0, 1e-30)
+            general = 1.0 + n * jnp.exp(alpha * jnp.log(arg))
+            general = jnp.where(jnp.isnan(general), 0.0, general)
+            g = jnp.clip(general, 0.0, n).astype(jnp.int32)
+            z_zipf = jnp.where(uz < 1.0, 1, jnp.where(uz < zeta2theta, 2, g))
+            z_zipf = jnp.minimum(z_zipf, jump_space)
+            z_unif = 1 + (
+                u * jnp.maximum(avail, 1).astype(fdt)
+            ).astype(jnp.int32)
+            z = jnp.where(use_zipf, z_zipf, z_unif)
+            if snap_mode == "stoch":
+                oidx, off_lo_i, off_hi = snap_idx_track(z, True)
+                off_lo = off_lo_i.astype(fdt)
+                u2 = ((bits >> 20) & 0x1FF).astype(fdt) * fdt(1.0 / 512.0)
+                qfrac = (z.astype(fdt) - off_lo) / jnp.maximum(
+                    off_hi.astype(fdt) - off_lo, 1.0
+                )
+                promote = (u2 < qfrac) & (off_hi <= avail)
+                oidx = jnp.where(promote, oidx + 1, oidx)
+                off_sel = jnp.where(promote, off_hi, off_lo_i)
+            else:
+                oidx, off_sel, _ = snap_idx_track(z, False)
+            active = (act & (forward | backward) & (cnt_a > 1)
+                      & (off_sel <= avail))
+            out.append(jnp.where(
+                active, jnp.where(backward, ~oidx, oidx), INACTIVE
+            ).astype(jnp.int32))
+        return out
+
+    sample_block.multi = sample_blocks
     return snap_to_offset, zipf_z, sample_block

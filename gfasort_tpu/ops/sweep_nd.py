@@ -90,15 +90,18 @@ def make_nd_sweep_fn(offs_p, S, D, params, zetas, fdt, active_frac,
         an [S] row, so the TPU's 128-wide lanes stay fully packed —
         the original [S, 2, D] layout put D (2-3) in the minor
         dimension and ran ~30x below elementwise peak."""
-        sidxs = []
-        bits0 = None
-        for pi in range(P):
-            kp = key if P == 1 else jax.random.fold_in(key, pi)
-            bits, u = sweep_rng(kp, S, fdt)
-            if bits0 is None:
-                bits0 = bits
-            sidxs.append(sample_block(
-                bits, u, cooling, rank_a, cnt_a, active_frac))
+        if P == 1:
+            bits0, u0 = sweep_rng(key, S, fdt)
+            sidxs = [sample_block(
+                bits0, u0, cooling, rank_a, cnt_a, active_frac)]
+        else:
+            bu = [sweep_rng(jax.random.fold_in(key, pi), S, fdt)
+                  for pi in range(P)]
+            bits0 = bu[0][0]
+            # bit-identical to P sample_block calls, shares the
+            # direction-constant chains (sweep_common.sample_blocks)
+            sidxs = sample_block.multi(
+                bu, cooling, rank_a, cnt_a, active_frac)
         other_end_self = ((bits0 >> 29) & 1) == 1   # end coin for me
 
         # per-term end choice for EACH endpoint: the reference flips a

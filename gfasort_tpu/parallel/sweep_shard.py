@@ -280,12 +280,17 @@ def build_sharded_sweep(
         def local_sweep(xs, key, eta, cooling, pos, rank_a, cnt_a):
             from ..ops.sweep_common import pack_choices_words, sweep_rng
 
-            sidxs = []
-            for pi in range(PP):
-                kp = key if PP == 1 else jax.random.fold_in(key, pi)
-                bits, u = sweep_rng(kp, L, fdt)
-                sidxs.append(sample_block(
-                    bits, u, cooling, rank_a, cnt_a, active_frac))
+            if PP == 1:
+                bits, u = sweep_rng(key, L, fdt)
+                sidxs = [sample_block(
+                    bits, u, cooling, rank_a, cnt_a, active_frac)]
+            else:
+                bu = [sweep_rng(jax.random.fold_in(key, pi), L, fdt)
+                      for pi in range(PP)]
+                # bit-identical to PP sample_block calls (shared
+                # direction-constant chains, sweep_common.sample_blocks)
+                sidxs = sample_block.multi(
+                    bu, cooling, rank_a, cnt_a, active_frac)
 
             iota = jax.lax.iota(jnp.int32, L)
             if bucket_apply is not None:

@@ -323,3 +323,54 @@ def test_multi_proposal_counter_matches_manual():
             manual += int(np.sum(pos[bwd] != pos[bwd - k]))
     assert res["applied"] == manual
     assert res["proposed_actual"] == proposed
+
+
+def test_sample_blocks_bit_identical():
+    """sample_block.multi (r5.2 shared-chain sampler) must be
+    BIT-identical to P independent sample_block calls — it is a pure
+    restructuring (elementwise ops commute with jnp.where), both snap
+    modes, warm and cooling, frac<1 and frac=1."""
+    import jax
+    import jax.numpy as jnp
+
+    from gfasort_tpu.bench_util import synthetic_path_index
+    from gfasort_tpu.ops.fastpow import zeta_table
+    from gfasort_tpu.ops import sweep_common as sc
+    from gfasort_tpu.params import PathSGDParams
+
+    pidx = synthetic_path_index(2000, 4, 5000, seed=11)
+    p = replace(
+        PathSGDParams().derive_from_graph(pidx),
+        dtype="float32", pow_mode="fast",
+    )
+    zetas = zeta_table(p.space, p.space_max, p.space_quantization_step,
+                       p.theta)
+    offs = np.array([1, 2, 3, 4, 6, 8, 13, 37, 256])
+    S = pidx.total_steps
+    rank_a = jnp.asarray(pidx.step_rank.astype(np.int32))
+    cnt_a = jnp.asarray(
+        pidx.step_count_of_step.astype(np.int32))
+    for mode in ("stoch", "down"):
+        import os
+        old = os.environ.get("GFASORT_SNAP")
+        os.environ["GFASORT_SNAP"] = mode
+        try:
+            _, _, sb = sc.make_offset_sampler(
+                offs, p, zetas, jnp.float32)
+        finally:
+            if old is None:
+                os.environ.pop("GFASORT_SNAP", None)
+            else:
+                os.environ["GFASORT_SNAP"] = old
+        for cooling in (False, True):
+            for frac in (1.0, 0.6):
+                key = jax.random.key(42)
+                bu = [sc.sweep_rng(jax.random.fold_in(key, pi),
+                                   S, jnp.float32)
+                      for pi in range(3)]
+                ref = [np.asarray(sb(b, u, cooling, rank_a, cnt_a, frac))
+                       for b, u in bu]
+                got = [np.asarray(x) for x in sb.multi(
+                    bu, cooling, rank_a, cnt_a, frac)]
+                for r, g in zip(ref, got):
+                    np.testing.assert_array_equal(r, g)
