@@ -262,8 +262,12 @@ def roofline_model(rate: float, info: dict, applied_frac: float,
         dsum/csum read+write (16)                               = 24 + 8P + 8·n_xla
       * combine: read xs/dsum/csum, write xs                    = 16
     VPU ops (f32 pass counts):
-      * sampler (murmur hash RNG ~25, zipf incl. const
-        where-trees ~80, masks/exact snap ~50) per proposal    ~= 155·P
+      * sampler (r5.2 shared-chain form, sweep_common.sample_blocks):
+        per-direction constant chains computed once (2 × (snap
+        where-tree ~12 + zeta/eta const trees ~2·13))          ~= 76
+        per proposal: murmur hash RNG ~25, coins/masks ~17,
+        direction selects 4, zipf math ~17, value-tracked snap
+        (3 selects/tree node) ~39, stoch snap ~8, uniform ~4   ~= 114·P
       * fused kernel: shared update math ~62 + mask
         compares ~8·P per bucket                               ~= (62+8P)·n_kern
       * XLA bucket: shared ~42 (d read, not recomputed) + 8·P  ~= (42+8P)·n_xla
@@ -282,7 +286,8 @@ def roofline_model(rate: float, info: dict, applied_frac: float,
 
     bytes_pe = ((8 + 4 * P) + (16 + 4 * P)
                 + (24 + 8 * P + 8 * n_xla if n_xla else 0) + 16)
-    ops_pe = (155 * P + (62 + 8 * P) * n_kern + (42 + 8 * P) * n_xla + 10)
+    ops_pe = (76 + 114 * P if P > 1 else 155) \
+        + (62 + 8 * P) * n_kern + (42 + 8 * P) * n_xla + 10
     # rate counts proposals = P·S·frac/sweep; per-element costs are
     # density-independent (masked SIMD), so per-UPDATE cost = per-elem
     # cost / (frac·P)
