@@ -380,8 +380,19 @@ def make_offset_sampler(offs: np.ndarray, params, zetas: np.ndarray, fdt):
 
         return build(0, K)
 
-    def zipf_z(u, jump_space, cooling):
+    def _zipf_core(u, jump_space, zeta, eta_z, zeta2theta, alpha):
+        """Inverse-CDF zipf transform given pre-selected bucketed
+        constants (shared by zipf_z and the multi-proposal sampler)."""
         n = jnp.maximum(jump_space, 1).astype(fdt)
+        uz = u * zeta
+        arg = jnp.maximum(eta_z * u - eta_z + 1.0, 1e-30)
+        general = 1.0 + n * jnp.exp(alpha * jnp.log(arg))
+        general = jnp.where(jnp.isnan(general), 0.0, general)
+        g = jnp.clip(general, 0.0, n).astype(jnp.int32)
+        z = jnp.where(uz < 1.0, 1, jnp.where(uz < zeta2theta, 2, g))
+        return jnp.minimum(z, jump_space)
+
+    def zipf_z(u, jump_space, cooling):
         # zeta/eta constants are a coarse bucketing of jump_space; the
         # exact snap keeps the bucket choice right on the non-uniform
         # rotation-phase sets too (same cost as the approx since r4)
@@ -391,13 +402,7 @@ def make_offset_sampler(offs: np.ndarray, params, zetas: np.ndarray, fdt):
         zeta2theta = jnp.where(cooling, fdt(_z2tc), fdt(_z2tw))
         theta = jnp.where(cooling, fdt(0.001), fdt(theta0))
         alpha = 1.0 / (1.0 - theta)
-        uz = u * zeta
-        arg = jnp.maximum(eta_z * u - eta_z + 1.0, 1e-30)
-        general = 1.0 + n * jnp.exp(alpha * jnp.log(arg))
-        general = jnp.where(jnp.isnan(general), 0.0, general)
-        g = jnp.clip(general, 0.0, n).astype(jnp.int32)
-        z = jnp.where(uz < 1.0, 1, jnp.where(uz < zeta2theta, 2, g))
-        return jnp.minimum(z, jump_space)
+        return _zipf_core(u, jump_space, zeta, eta_z, zeta2theta, alpha)
 
     import os as _os
 
@@ -535,15 +540,8 @@ def make_offset_sampler(offs: np.ndarray, params, zetas: np.ndarray, fdt):
             jump_space = jnp.where(backward, shared[0][0], shared[1][0])
             zeta = jnp.where(backward, shared[0][1], shared[1][1])
             eta_z = jnp.where(backward, shared[0][2], shared[1][2])
-            # zipf_z body with the bucketed constants pre-selected
-            n = jnp.maximum(jump_space, 1).astype(fdt)
-            uz = u * zeta
-            arg = jnp.maximum(eta_z * u - eta_z + 1.0, 1e-30)
-            general = 1.0 + n * jnp.exp(alpha * jnp.log(arg))
-            general = jnp.where(jnp.isnan(general), 0.0, general)
-            g = jnp.clip(general, 0.0, n).astype(jnp.int32)
-            z_zipf = jnp.where(uz < 1.0, 1, jnp.where(uz < zeta2theta, 2, g))
-            z_zipf = jnp.minimum(z_zipf, jump_space)
+            z_zipf = _zipf_core(u, jump_space, zeta, eta_z,
+                                zeta2theta, alpha)
             z_unif = 1 + (
                 u * jnp.maximum(avail, 1).astype(fdt)
             ).astype(jnp.int32)
