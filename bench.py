@@ -75,7 +75,8 @@ QUALITY_CFG = dict(consensus_every=8, per_octave=2, active_frac=1.0,
 #     sweep (packed into ceil(P/4) i32 words, 8-bit fields) and the
 #     bucket passes share ONE update-math evaluation (only the mask
 #     extracts/compares scale with P): 1,950 -> 2,974 -> 3,992 ->
-#     4,770 -> 5,366 -> 6,210 M/s measured at P=1/2/3/4/8/12; certs
+#     4,770 -> 5,366 -> 6,210 M/s measured at P=1/2/3/4/8/12 (6,998
+#     with the r5.2 shared-chain sampler, sweep_common.sample_blocks); certs
 #     FLAT at every P (iter30 3.57e-4, iter100 2.21e-4, quality mode
 #     2.09e-4 at P=12 — P-invariant).  P=16 (6 input windows) blows
 #     Mosaic's scoped-VMEM stack; 12 is the shipping ceiling.
